@@ -1,0 +1,19 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Correctness tests run against Python-int oracles on CPU (fast iteration,
+deterministic); the multi-chip sharding tests use the 8 virtual devices.
+Benchmarks (bench.py) run on real TPU hardware separately.
+"""
+
+import os
+import sys
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

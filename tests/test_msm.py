@@ -1,0 +1,48 @@
+"""MSM vs naive-sum oracle (reference: test-templates/src/msm.rs:17-60 checks
+Pippenger against a naive sum, including mixed scalar magnitudes)."""
+
+import random
+
+import pytest
+
+from ec_oracle import ec_add, ec_mul
+from zkarray.curves import bls12_381, bn254
+from zkarray.ec import msm, sw
+from zkarray.ff import fp
+
+
+def oracle_msm(pts, ks, a, mod):
+    acc = None
+    for p, k in zip(pts, ks):
+        acc = ec_add(acc, ec_mul(p, k, a, mod), a, mod)
+    return acc
+
+
+@pytest.mark.parametrize("curve", [bn254.G1, bls12_381.G1], ids=lambda c: c.name)
+@pytest.mark.parametrize("n,c,g", [(13, 4, 2), (64, 5, 8)])
+def test_msm_vs_naive(curve, n, c, g):
+    a, mod = curve.a_int, curve.base.modulus
+    r = curve.scalar.modulus
+    rng = random.Random(n * 31 + c)
+    gen = (curve.gen_x, curve.gen_y)
+    pts = [ec_mul(gen, rng.randrange(1, 1 << 40), a, mod) for _ in range(n)]
+    # mixed magnitudes incl. edge scalars (reference msm.rs mixed test)
+    ks = [0, 1, r - 1, 2, 3] + [rng.randrange(r) for _ in range(n - 5)]
+    A = curve.affine_from_ints(pts)
+    s = fp.from_ints(curve.scalar, ks, mont=False)
+    res = msm.msm_affine(curve, A, s, c, g)
+    got = curve.affine_to_ints(res)[0]
+    assert got == oracle_msm(pts, ks, a, mod)
+
+
+def test_msm_infinity_points():
+    curve = bn254.G1
+    a, mod = curve.a_int, curve.base.modulus
+    gen = (curve.gen_x, curve.gen_y)
+    pts = [gen, None, ec_mul(gen, 5, a, mod), None]
+    ks = [3, 7, 2, 0]
+    A = curve.affine_from_ints(pts)
+    s = fp.from_ints(curve.scalar, ks, mont=False)
+    res = msm.msm_affine(curve, A, s, 4, 2)
+    got = curve.affine_to_ints(res)[0]
+    assert got == oracle_msm([p for p in pts], ks, a, mod)

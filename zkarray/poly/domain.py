@@ -1,0 +1,186 @@
+"""Radix-2 evaluation domains and the batched NTT.
+
+Reference analog: ark-poly's Radix2EvaluationDomain + FFT engine
+(poly/src/domain/radix2/{mod.rs:22-164, fft.rs:14-381}) and the
+EvaluationDomain trait (poly/src/domain/mod.rs:31-329). The reference runs an
+iterative Cooley–Tukey with rayon-parallel chunked butterflies; here every
+butterfly stage is one batched field op over the whole (L, n) planar limb
+array (XLA vectorizes over lanes), with the twiddle table built on device in
+log-depth doubling steps and all per-domain scalars (group_gen, size_inv,
+offset) precomputed as Python ints at domain construction.
+
+Output convention matches the reference: ``fft(coeffs)[k] = f(offset·g^k)``
+with g the size-n root of unity, natural order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zkarray.core.fieldspec import FieldSpec
+from zkarray.ff import fp
+
+
+def _bitrev_perm(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n, dtype=np.int32)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def power_table(spec: FieldSpec, w_int: int, n: int) -> jnp.ndarray:
+    """(L, n) Montgomery-form table [w^0, w^1, ..., w^(n-1)].
+
+    Log-depth doubling: T_{2m} = [T_m, T_m · w^m], with w^m host-computed
+    constants (reference: roots_of_unity recursive doubling,
+    poly/src/domain/radix2/fft.rs:156-187).
+    """
+    p = spec.modulus
+    t = fp.one(spec, (1,))
+    m = 1
+    while m < n:
+        shift = fp.const_array(spec, pow(w_int, m, p), (min(m, n - m),))
+        t = jnp.concatenate([t, fp.mont_mul(spec, t[:, : n - m], shift)], axis=1)
+        m *= 2
+    return t
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def distribute_powers(spec: FieldSpec, arr: jnp.ndarray, c_int: int) -> jnp.ndarray:
+    """arr[j] *= c^j (coset twist; reference poly/src/domain/mod.rs:115-148)."""
+    n = arr.shape[1]
+    return fp.mont_mul(spec, arr, power_table(spec, c_int, n))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _fft_core(
+    spec: FieldSpec, arr: jnp.ndarray, n: int, w_int: int, scale_int: Optional[int]
+) -> jnp.ndarray:
+    """In-order → in-order radix-2 NTT of (L, n) with root w (DIT after
+    bit-reversal). If scale_int is given, outputs are scaled by it (used to
+    fuse n^{-1} into the inverse transform)."""
+    L = arr.shape[0]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    tw = power_table(spec, w_int, n // 2) if n > 1 else None
+    x = jnp.take(arr, jnp.asarray(_bitrev_perm(log_n)), axis=1)
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        half = m // 2
+        xs = x.reshape(L, n // m, m)
+        lo, hi = xs[:, :, :half], xs[:, :, half:]
+        w_stage = tw[:, :: n // m][:, None, :]  # (L, 1, half) — broadcasts
+        t = fp.mont_mul(spec, hi, w_stage)
+        x = jnp.concatenate([fp.add(spec, lo, t), fp.sub(spec, lo, t)], axis=2)
+        x = x.reshape(L, n)
+    if scale_int is not None:
+        x = fp.mont_mul(spec, x, fp.const_array(spec, scale_int, (1,)))
+    return x
+
+
+class Radix2Domain:
+    """Multiplicative coset offset·<g> of size n = 2^k.
+
+    Reference: Radix2EvaluationDomain (poly/src/domain/radix2/mod.rs:22-164).
+    """
+
+    def __init__(self, spec: FieldSpec, size: int, offset_int: int = 1):
+        if size < 1 or size & (size - 1):
+            raise ValueError("domain size must be a power of two")
+        log_n = size.bit_length() - 1
+        if log_n > spec.two_adicity:
+            raise ValueError(
+                f"size 2^{log_n} exceeds 2-adicity {spec.two_adicity} of {spec.name}"
+            )
+        p = spec.modulus
+        self.spec = spec
+        self.size = size
+        self.log_size = log_n
+        self.group_gen_int = spec.root_of_unity(size) if size > 1 else 1
+        self.group_gen_inv_int = pow(self.group_gen_int, -1, p)
+        self.size_inv_int = pow(size, -1, p)
+        self.offset_int = offset_int % p
+        self.offset_inv_int = pow(self.offset_int, -1, p)
+        self.offset_pow_size_int = pow(self.offset_int, size, p)
+
+    def get_coset(self, offset_int: int) -> "Radix2Domain":
+        return Radix2Domain(self.spec, self.size, offset_int)
+
+    # ---- transforms ----
+
+    def fft(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        """Coefficients (L, m) m <= n → evaluations (L, n) on the coset."""
+        spec, n = self.spec, self.size
+        m = coeffs.shape[1]
+        if m < n:
+            coeffs = jnp.pad(coeffs, ((0, 0), (0, n - m)))
+        elif m > n:
+            raise ValueError("too many coefficients for domain")
+        if self.offset_int != 1:
+            coeffs = distribute_powers(spec, coeffs, self.offset_int)
+        return _fft_core(spec, coeffs, n, self.group_gen_int, None)
+
+    def ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
+        """Evaluations on the coset → coefficients (L, n)."""
+        spec, n = self.spec, self.size
+        if evals.shape[1] != n:
+            raise ValueError("evaluation count must equal domain size")
+        out = _fft_core(spec, evals, n, self.group_gen_inv_int, self.size_inv_int)
+        if self.offset_int != 1:
+            out = distribute_powers(spec, out, self.offset_inv_int)
+        return out
+
+    # ---- domain queries (reference: poly/src/domain/mod.rs) ----
+
+    def elements(self) -> jnp.ndarray:
+        """(L, n) table [offset·g^0, ..., offset·g^(n-1)]."""
+        t = power_table(self.spec, self.group_gen_int, self.size)
+        if self.offset_int != 1:
+            t = fp.mont_mul(
+                self.spec, t, fp.const_array(self.spec, self.offset_int, (1,))
+            )
+        return t
+
+    def evaluate_vanishing_polynomial(self, tau: jnp.ndarray) -> jnp.ndarray:
+        """Z(tau) = tau^n - offset^n, batched over tau."""
+        spec = self.spec
+        tn = fp.pow_const(spec, tau, self.size)
+        return fp.sub(
+            spec, tn, fp.const_array(spec, self.offset_pow_size_int, tau.shape[1:])
+        )
+
+    def evaluate_all_lagrange_coefficients(self, tau: jnp.ndarray) -> jnp.ndarray:
+        """L_i(tau) for all i — O(n) with batch inversion (reference:
+        poly/src/domain/mod.rs:183-260). tau: (L,) single element → (L, n)."""
+        spec, n = self.spec, self.size
+        tau = tau.reshape(spec.num_limbs, 1)
+        elems = self.elements()  # r_i = offset·g^i
+        # Z(tau) = tau^n - offset^n ; L_i(tau) = Z(tau) · r_i / (n·offset^n·(tau - r_i))
+        z = self.evaluate_vanishing_polynomial(tau)  # (L,1)
+        diffs = fp.sub(spec, jnp.broadcast_to(tau, elems.shape), elems)
+        inv_diffs = fp.batch_inv(spec, diffs)
+        # c = Z(tau) / (n·offset^n) — host constant multiplies
+        c_int = pow(
+            (self.size * self.offset_pow_size_int) % spec.modulus, -1, spec.modulus
+        )
+        zc = fp.mont_mul(spec, z, fp.const_array(spec, c_int, (1,)))
+        li = fp.mont_mul(spec, fp.mont_mul(spec, zc, elems), inv_diffs)
+        # At tau = r_i the formula is 0/0; exact hit → L_i = 1, others 0.
+        hit = fp.eq(jnp.broadcast_to(tau, elems.shape), elems)  # (n,)
+        any_hit = jnp.any(hit)
+        exact = fp.select(hit, fp.one(spec, (n,)), fp.zero(spec, (n,)))
+        return fp.select(jnp.broadcast_to(any_hit, (n,)), exact, li)
+
+    def mul_polynomials_in_evaluation_domain(self, a, b):
+        return fp.mont_mul(self.spec, a, b)
+
+    def __repr__(self):
+        return f"Radix2Domain({self.spec.name}, 2^{self.log_size}, offset={self.offset_int})"
