@@ -17,3 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent XLA compilation cache: compile-heavy suites (unrolled limb
+# arithmetic) only pay compile cost once across runs.
+_cache_dir = os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/zkarray-xla-cache"
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

@@ -1,0 +1,47 @@
+"""GLV scalar mul + fixed-base batch mul vs oracle (reference: test suites
+glv.rs / scalar_mul tests in test-templates)."""
+
+import random
+
+import numpy as np
+
+from ec_oracle import ec_mul
+from zkarray.curves import bls12_381 as b381
+from zkarray.ec import fixed_base, glv, sw
+from zkarray.ff import fp
+
+
+def test_glv_decomposition():
+    g = glv.bls12_381_g1_glv()
+    r = b381.FR.modulus
+    rng = random.Random(0)
+    for _ in range(10):
+        k = rng.randrange(r)
+        k1, k2 = g.decompose(k)
+        assert (k1 + g.lam * k2 - k) % r == 0
+        assert abs(k1) < 1 << 130 and abs(k2) < 1 << 130
+
+
+def test_glv_mul_vs_oracle():
+    g = glv.bls12_381_g1_glv()
+    curve = b381.G1
+    a, mod = curve.a_int, curve.base.modulus
+    gen = (curve.gen_x, curve.gen_y)
+    rng = random.Random(1)
+    pts = [ec_mul(gen, k, a, mod) for k in (1, 2, 7)]
+    ks = [0, 1, rng.randrange(curve.scalar.modulus)]
+    A = curve.affine_from_ints(pts)
+    res = sw.to_affine(curve, glv.glv_mul(g, A, ks))
+    assert curve.affine_to_ints(res) == [ec_mul(p, k, a, mod) for p, k in zip(pts, ks)]
+
+
+def test_fixed_base_batch_mul():
+    curve = b381.G1
+    a, mod = curve.a_int, curve.base.modulus
+    gen = (curve.gen_x, curve.gen_y)
+    tbl = fixed_base.FixedBaseTable(curve, gen, window=13)
+    rng = random.Random(2)
+    ks = [0, 1, 2, rng.randrange(curve.scalar.modulus), curve.scalar.modulus - 1]
+    s = fp.from_ints(curve.scalar, ks, mont=False)
+    res = sw.to_affine(curve, tbl.batch_mul(s))
+    assert curve.affine_to_ints(res) == [ec_mul(gen, k, a, mod) for k in ks]

@@ -104,11 +104,20 @@ class FieldSpec:
         if p % 4 == 3:
             self.sqrt_mode = "3mod4"
             self.sqrt_exp = (p + 1) // 4
+            self.sqrt_qnr = None
         else:
-            # Tonelli–Shanks: c = qnr^t (= 2-adic root since the generator is
-            # a non-residue), exponent (t-1)/2.
+            # Tonelli–Shanks: needs a guaranteed quadratic non-residue. Some
+            # reference configs ship a "generator" that is actually a square
+            # (harmless there since those fields are never FFT'd); derive a
+            # certified QNR independently.
             self.sqrt_mode = "tonelli"
             self.sqrt_exp = (t - 1) // 2
+            qnr = self.generator_int
+            if pow(qnr, (p - 1) // 2, p) != p - 1:
+                qnr = 2
+                while pow(qnr, (p - 1) // 2, p) != p - 1:
+                    qnr += 1
+            self.sqrt_qnr = qnr
 
         self.mod_minus_one_div_two = (p - 1) // 2
 

@@ -1,0 +1,153 @@
+"""GLV endomorphism-accelerated scalar multiplication.
+
+Reference analog: ec/src/scalar_mul/glv.rs:12-166 — scalar decomposition
+k = k1 + λ·k2 via the LLL-reduced lattice basis (rational rounding), then a
+joint double-and-add over the half-length scalars with φ(P) = (β·x, y).
+
+Decomposition is host-side Python-int math (exact rational rounding, one pass
+per batch element); the joint Straus ladder runs batched on device with half
+the serial depth of plain double-and-add.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zkarray.core import limbs as lb
+from zkarray.ec import sw
+from zkarray.ec.sw import AffinePoints, JacobianPoints, SWCurveSpec
+from zkarray.ff import fp
+
+
+class GLVSpec:
+    def __init__(self, curve: SWCurveSpec, endo_coeff: int, lam: int, decomp):
+        """decomp: [(sign, abs), ...] 2x2 row-major [n11, n12, n21, n22]."""
+        self.curve = curve
+        self.endo_coeff = endo_coeff
+        self.lam = lam
+        self.decomp = [(s if isinstance(s, bool) else s >= 0, abs(v)) for s, v in decomp]
+
+    def __hash__(self):
+        return hash((self.curve, self.endo_coeff, self.lam))
+
+    def __eq__(self, o):
+        return isinstance(o, GLVSpec) and (o.curve, o.lam) == (self.curve, self.lam)
+
+    def decompose(self, k: int) -> Tuple[int, int]:
+        """k ≡ k1 + λ·k2 (mod r); returns signed (k1, k2), |ki| ≈ √r.
+
+        Reference: GLVConfig::scalar_decomposition (glv.rs:29-100)."""
+        r = self.curve.scalar.modulus
+        sgn = lambda t: t[1] if t[0] else -t[1]
+        n11, n12, n21, n22 = (sgn(t) for t in self.decomp)
+
+        def round_div(a, b):
+            d, m = divmod(a, b)
+            return d + (1 if 2 * m > b else 0)
+
+        beta_1 = round_div(k * n22, r)
+        beta_2 = round_div(k * (-n12), r)
+        b1 = beta_1 * n11 + beta_2 * n21
+        b2 = beta_1 * n12 + beta_2 * n22
+        k1 = k - b1
+        k2 = -b2
+        assert (k1 + self.lam * k2 - k) % r == 0
+        return k1, k2
+
+
+def endomorphism(g: GLVSpec, A: AffinePoints) -> AffinePoints:
+    """φ(x, y) = (β·x, y) (reference glv.rs endomorphism_affine)."""
+    f = g.curve.base
+    return AffinePoints(
+        fp.mont_mul(f, A.x, fp.const_array(f, g.endo_coeff, ())), A.y, A.inf
+    )
+
+
+def glv_mul(g: GLVSpec, A: AffinePoints, scalars) -> JacobianPoints:
+    """Batched k_i·P_i via GLV: decompose on host, joint ladder on device.
+
+    ``scalars``: list of Python ints (host) — decomposition requires exact
+    rational rounding.
+    """
+    curve = g.curve
+    f = curve.base
+    halfbits = (curve.scalar.bits + 1) // 2 + 2
+    k1s, k2s, s1s, s2s = [], [], [], []
+    for k in scalars:
+        k1, k2 = g.decompose(int(k) % curve.scalar.modulus)
+        s1s.append(k1 < 0)
+        s2s.append(k2 < 0)
+        k1s.append(abs(k1))
+        k2s.append(abs(k2))
+    L = curve.scalar.num_limbs
+    k1a = jnp.asarray(lb.ints_to_limbs_np(k1s, L))
+    k2a = jnp.asarray(lb.ints_to_limbs_np(k2s, L))
+    s1 = jnp.asarray(np.asarray(s1s))
+    s2 = jnp.asarray(np.asarray(s2s))
+    return _glv_ladder(g, A, k1a, k2a, s1, s2, halfbits)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def _glv_ladder(g: GLVSpec, A, k1, k2, s1, s2, nbits: int) -> JacobianPoints:
+    curve = g.curve
+    f = curve.base
+    batch = A.x.shape[1:]
+    # sign-adjusted bases: P' = ±P, Q' = ±φ(P)
+    P = AffinePoints(A.x, fp.select(s1, fp.neg(f, A.y), A.y), A.inf)
+    phiA = endomorphism(g, A)
+    Q = AffinePoints(phiA.x, fp.select(s2, fp.neg(f, phiA.y), phiA.y), phiA.inf)
+    # table: P+Q for the (1,1) digit
+    PQ = sw.to_affine(
+        curve, sw.jac_add_mixed(curve, sw.from_affine(curve, P), Q)
+    )
+
+    limb_tab = jnp.asarray(
+        np.asarray([(nbits - 1 - i) // 16 for i in range(nbits)], dtype=np.int32)
+    )
+    shift_tab = jnp.asarray(
+        np.asarray([(nbits - 1 - i) % 16 for i in range(nbits)], dtype=np.int32)
+    )
+
+    def body(acc, ls):
+        limb, shift = ls
+        b1 = (jnp.take(k1, limb, axis=0) >> shift) & 1
+        b2 = (jnp.take(k2, limb, axis=0) >> shift) & 1
+        acc = sw.jac_double(curve, acc)
+        # select addend among {P, Q, P+Q} (and skip when both bits 0)
+        both = (b1 == 1) & (b2 == 1)
+        only1 = (b1 == 1) & (b2 == 0)
+        addend = AffinePoints(
+            fp.select(both, PQ.x, fp.select(only1, P.x, Q.x)),
+            fp.select(both, PQ.y, fp.select(only1, P.y, Q.y)),
+            jnp.where(both, PQ.inf, jnp.where(only1, P.inf, Q.inf)),
+        )
+        added = sw.jac_add_mixed(curve, acc, addend)
+        skip = (b1 == 0) & (b2 == 0)
+        return sw._select_jac(~skip, added, acc), None
+
+    acc0 = sw.jac_zero(curve, batch)
+    acc, _ = jax.lax.scan(body, acc0, (limb_tab, shift_tab))
+    return acc
+
+
+# ---- standard GLV parameter sets (reference curves/*/src/curves/g1.rs) ----
+
+def bls12_381_g1_glv():
+    from zkarray.curves import bls12_381 as b
+
+    return GLVSpec(
+        b.G1,
+        endo_coeff=793479390729215512621379701633421447060886740281060493010456487427281649075476305620758731620350,
+        lam=52435875175126190479447740508185965837461563690374988244538805122978187051009,
+        decomp=[
+            (True, 228988810152649578064853576960394133504),
+            (True, 1),
+            (False, 1),
+            (True, 228988810152649578064853576960394133503),
+        ],
+    )

@@ -469,16 +469,22 @@ def scalar_mul(spec: SWCurveSpec, A: AffinePoints, scalars: jnp.ndarray) -> Jaco
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def scalar_mul_const(spec: SWCurveSpec, P: JacobianPoints, k: int) -> JacobianPoints:
     """k · P for a Python-int constant k (e.g. cofactor clearing;
-    reference: mul_by_cofactor, ec/src/lib.rs:160-180)."""
+    reference: mul_by_cofactor, ec/src/lib.rs:160-180). Scan-compressed:
+    the graph holds one double+add body regardless of |k|."""
     if k == 0:
         return jac_zero(spec, P.x.shape[1:])
     neg_ = k < 0
     k = abs(k)
-    acc = jac_zero(spec, P.x.shape[1:])
-    for bit in bin(k)[2:]:
+    bits = jnp.asarray(
+        np.asarray([int(b) for b in bin(k)[2:]], dtype=np.uint32)
+    )
+
+    def body(acc, bit):
         acc = jac_double(spec, acc)
-        if bit == "1":
-            acc = jac_add(spec, acc, P)
+        added = jac_add(spec, acc, P)
+        return _select_jac(bit == 1, added, acc), None
+
+    acc, _ = jax.lax.scan(body, jac_zero(spec, P.x.shape[1:]), bits)
     return jac_neg(spec, acc) if neg_ else acc
 
 

@@ -102,6 +102,18 @@ def _accumulate_product(cols: jnp.ndarray, i: int, row: jnp.ndarray) -> jnp.ndar
     return cols
 
 
+def _acc_list(cols: list, i: int, row: jnp.ndarray) -> None:
+    """List-based lazy-column accumulate: no dynamic-update-slice traffic —
+    every column is an SSA value XLA keeps in registers (the TPU-fusion
+    analog of the reference's fully unrolled CIOS, montgomery_backend.rs
+    #[unroll_for_loops])."""
+    lo = row & LIMB_MASK
+    hi = row >> LIMB_BITS
+    for j in range(row.shape[0]):
+        cols[i + j] = cols[i + j] + lo[j]
+        cols[i + j + 1] = cols[i + j + 1] + hi[j]
+
+
 def _cond_sub_p(spec: FieldSpec, r: jnp.ndarray) -> jnp.ndarray:
     """r (L+1 canonical limbs, value < 2p) -> r mod p as L limbs."""
     L = spec.num_limbs
@@ -113,41 +125,50 @@ def _cond_sub_p(spec: FieldSpec, r: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((borrow == 0)[None], diff[:L], r[:L])
 
 
+def _mont_reduce_list(spec: FieldSpec, cols: list, batch) -> jnp.ndarray:
+    """Reduction over a 2L+1 list of lazy columns (SSA form)."""
+    L = spec.num_limbs
+    p_c = _bc(_np_const(spec, "p"), batch)
+    inv16 = np.uint32(spec.inv16)
+    zero_col = jnp.zeros(batch, dtype=jnp.uint32)
+    cols = [c if c is not None else zero_col for c in cols]
+    for i in range(L):
+        m = (cols[i] * inv16) & LIMB_MASK
+        _acc_list(cols, i, m[None] * p_c)
+        cols[i + 1] = cols[i + 1] + (cols[i] >> LIMB_BITS)
+    r = lb.normalize(jnp.stack(cols[L:]), L + 1)
+    return _cond_sub_p(spec, r)
+
+
 def mont_reduce(spec: FieldSpec, cols: jnp.ndarray) -> jnp.ndarray:
     """Montgomery-reduce lazy columns: returns (Σ cols·2^16i) · R^{-1} mod p.
 
     ``cols``: (K, *batch) lazy base-2^16 columns, K <= 2L+1, each < ~2^23.
     CIOS reduction loop, reference: montgomery_backend.rs:234-245.
+    Exact (result < p) whenever the represented value is < R·p.
     """
     L = spec.num_limbs
     batch = cols.shape[1:]
     K = 2 * L + 1
-    if cols.shape[0] < K:
-        cols = jnp.concatenate(
-            [cols, lb.zeros(K - cols.shape[0], batch)], axis=0
-        )
-    p_c = _bc(_np_const(spec, "p"), batch)
-    inv16 = np.uint32(spec.inv16)
-    for i in range(L):
-        m = (cols[i] * inv16) & LIMB_MASK
-        cols = _accumulate_product(cols, i, m[None] * p_c)
-        # column i is now ≡ 0 mod 2^16; push its carry up
-        cols = cols.at[i + 1].add(cols[i] >> LIMB_BITS)
-    r = lb.normalize(cols[L:], L + 1)
-    return _cond_sub_p(spec, r)
+    lst = list(cols)
+    lst += [None] * (K - len(lst))
+    return _mont_reduce_list(spec, lst, batch)
 
 
 def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a·b·R^{-1} mod p (CIOS over 16-bit planar limbs).
 
-    Reference: MontConfig::mul_assign, montgomery_backend.rs:179-246.
+    Reference: MontConfig::mul_assign, montgomery_backend.rs:179-246. The
+    whole schoolbook + reduction is emitted as straight-line SSA vector ops
+    (no buffer updates) so XLA fuses it into one VMEM-resident kernel.
     """
     L = spec.num_limbs
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    cols = lb.zeros(2 * L + 1, batch)
+    zero_col = jnp.zeros(batch, dtype=jnp.uint32)
+    cols = [zero_col] * (2 * L + 1)
     for i in range(L):
-        cols = _accumulate_product(cols, i, a[i][None] * b)
-    return mont_reduce(spec, cols)
+        _acc_list(cols, i, a[i][None] * b)
+    return _mont_reduce_list(spec, cols, batch)
 
 
 def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -157,20 +178,22 @@ def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """
     L = spec.num_limbs
     batch = a.shape[1:]
-    cols = lb.zeros(2 * L + 1, batch)
-    # off-diagonal: for i < j, 2*a_i*a_j. Row form: for each i, row over j>i.
+    zero_col = jnp.zeros(batch, dtype=jnp.uint32)
+    cols = [zero_col] * (2 * L + 1)
     for i in range(L - 1):
         row = a[i][None] * a[i + 1 :]  # (L-1-i, *batch)
         lo = (row & LIMB_MASK) << 1    # < 2^17: still fine in lazy columns
         hi = (row >> LIMB_BITS) << 1
-        n = row.shape[0]
-        cols = cols.at[2 * i + 1 : 2 * i + 1 + n].add(lo)
-        cols = cols.at[2 * i + 2 : 2 * i + 2 + n].add(hi)
-    # diagonal a_i^2
+        for j in range(row.shape[0]):
+            cols[2 * i + 1 + j] = cols[2 * i + 1 + j] + lo[j]
+            cols[2 * i + 2 + j] = cols[2 * i + 2 + j] + hi[j]
     diag = a * a
-    cols = cols.at[0 : 2 * L : 2].add(diag & LIMB_MASK)
-    cols = cols.at[1 : 2 * L : 2].add(diag >> LIMB_BITS)
-    return mont_reduce(spec, cols)
+    dlo = diag & LIMB_MASK
+    dhi = diag >> LIMB_BITS
+    for i in range(L):
+        cols[2 * i] = cols[2 * i] + dlo[i]
+        cols[2 * i + 1] = cols[2 * i + 1] + dhi[i]
+    return _mont_reduce_list(spec, cols, batch)
 
 
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -256,6 +279,21 @@ def pow_const(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
     return res
 
 
+def pow_u32(spec: FieldSpec, a: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
+    """a^e for a traced uint32 exponent (scalar or batch-shaped), via a fixed
+    32-step square-and-multiply fori_loop."""
+    e = jnp.asarray(e, dtype=jnp.uint32)
+
+    def body(i, carry):
+        res, base = carry
+        bit = (e >> i) & 1
+        res = select(bit == 1, mont_mul(spec, res, base), res)
+        return res, mont_sqr(spec, base)
+
+    res, _ = jax.lax.fori_loop(0, 32, body, (one(spec, a.shape[1:]), a))
+    return res
+
+
 def pow2k(spec: FieldSpec, a: jnp.ndarray, k: int) -> jnp.ndarray:
     """a^(2^k) — k repeated squarings via fori_loop."""
     if k == 0:
@@ -318,10 +356,10 @@ def _ts_consts(spec: FieldSpec) -> Tuple[np.ndarray, np.ndarray]:
 
     cs_inv[j]   = c^{-2^j}       (for the DL update), j in [0, s)
     half_inv[j] = c^{-2^(j-1)}   (sqrt accumulator), j in [1, s)
-    where c = two-adic root of unity (order 2^s).
+    where c = qnr^trace has exact order 2^s (qnr a certified non-residue).
     """
     p, s = spec.modulus, spec.two_adicity
-    c = spec.two_adic_root_int
+    c = pow(spec.sqrt_qnr, spec.trace, p)
     cinv = pow(c, -1, p)
     cs_inv, half_inv = [], []
     x = cinv
@@ -462,6 +500,7 @@ neg = jax.jit(neg, static_argnums=0)
 to_mont = jax.jit(to_mont, static_argnums=0)
 from_mont = jax.jit(from_mont, static_argnums=0)
 pow_const = jax.jit(pow_const, static_argnums=(0, 2))
+pow_u32 = jax.jit(pow_u32, static_argnums=0)
 pow2k = jax.jit(pow2k, static_argnums=(0, 2))
 inv = jax.jit(inv, static_argnums=0)
 batch_inv = jax.jit(batch_inv, static_argnums=0)

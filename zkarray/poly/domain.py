@@ -64,25 +64,29 @@ def distribute_powers(spec: FieldSpec, arr: jnp.ndarray, c_int: int) -> jnp.ndar
 def _fft_core(
     spec: FieldSpec, arr: jnp.ndarray, n: int, w_int: int, scale_int: Optional[int]
 ) -> jnp.ndarray:
-    """In-order → in-order radix-2 NTT of (L, n) with root w (DIT after
-    bit-reversal). If scale_int is given, outputs are scaled by it (used to
-    fuse n^{-1} into the inverse transform)."""
+    """In-order → in-order radix-2 NTT over axis 1 of (L, n, *rest) with root
+    w (DIT after bit-reversal); ``rest`` axes are independent batch transforms
+    (used by the four-step distributed NTT). If scale_int is given, outputs
+    are scaled by it (fuses n^{-1} into the inverse transform)."""
     L = arr.shape[0]
+    rest = arr.shape[2:]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
-    tw = power_table(spec, w_int, n // 2) if n > 1 else None
+    tw = power_table(spec, w_int, max(n // 2, 1))
     x = jnp.take(arr, jnp.asarray(_bitrev_perm(log_n)), axis=1)
+    r1 = (1,) * len(rest)
     for s in range(1, log_n + 1):
         m = 1 << s
         half = m // 2
-        xs = x.reshape(L, n // m, m)
-        lo, hi = xs[:, :, :half], xs[:, :, half:]
-        w_stage = tw[:, :: n // m][:, None, :]  # (L, 1, half) — broadcasts
+        xs = x.reshape((L, n // m, m) + rest)
+        lo = jax.lax.slice_in_dim(xs, 0, half, axis=2)
+        hi = jax.lax.slice_in_dim(xs, half, m, axis=2)
+        w_stage = tw[:, :: n // m].reshape((L, 1, half) + r1)
         t = fp.mont_mul(spec, hi, w_stage)
         x = jnp.concatenate([fp.add(spec, lo, t), fp.sub(spec, lo, t)], axis=2)
-        x = x.reshape(L, n)
+        x = x.reshape((L, n) + rest)
     if scale_int is not None:
-        x = fp.mont_mul(spec, x, fp.const_array(spec, scale_int, (1,)))
+        x = fp.mont_mul(spec, x, fp.const_array(spec, scale_int, r1)[:, None])
     return x
 
 
@@ -184,3 +188,15 @@ class Radix2Domain:
 
     def __repr__(self):
         return f"Radix2Domain({self.spec.name}, 2^{self.log_size}, offset={self.offset_int})"
+
+
+def GeneralDomain(spec: FieldSpec, min_size: int, offset_int: int = 1):
+    """Pick the best domain for >= min_size evaluations: radix-2 when the
+    2-adicity allows, otherwise a mixed-radix domain (reference:
+    GeneralEvaluationDomain, poly/src/domain/general.rs:49-65)."""
+    n = 1 << max(0, (min_size - 1)).bit_length()
+    if n.bit_length() - 1 <= spec.two_adicity:
+        return Radix2Domain(spec, n, offset_int)
+    from zkarray.poly.mixed_radix import MixedRadixDomain, best_mixed_domain_size
+
+    return MixedRadixDomain(spec, best_mixed_domain_size(spec, min_size), offset_int)
