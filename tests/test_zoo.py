@@ -49,3 +49,45 @@ def test_field_sanity(curve):
                 pow(spec.sqrt_qnr, (spec.modulus - 1) // 2, spec.modulus)
                 == spec.modulus - 1
             )
+
+
+# ---- TE curve zoo (host-side validation: on-curve + birational map) ----
+
+def test_te_zoo_on_curve():
+    from zkarray.curves.te_zoo import TE_CURVES
+
+    for name, c in TE_CURVES.items():
+        p = c.base.modulus
+        x, y, a, d = c.gen_x, c.gen_y, c.a_int, c.d_int
+        assert (a * x * x + y * y) % p == (1 + d * x * x * y * y) % p, name
+
+
+def test_te_zoo_montgomery_map():
+    """A = 2(a+d)/(a-d), B = 4/(a-d) (reference MontCurveConfig consistency)."""
+    from zkarray.curves.te_zoo import TE_CURVES
+
+    for name, c in TE_CURVES.items():
+        if c.mont_coeff_a is None:
+            continue
+        p = c.base.modulus
+        a, d = c.a_int, c.d_int
+        assert c.mont_coeff_a % p == (2 * (a + d) * pow(a - d, -1, p)) % p, name
+
+
+def test_te_zoo_group_law_device():
+    """One device check per curve: 2G + G == 3·G via ladder."""
+    import numpy as np
+
+    from zkarray.curves.te_zoo import TE_CURVES
+    from zkarray.ec import te
+    from zkarray.ff import fp
+
+    for name in ("ed_on_bls12_377", "ed_on_bn254", "curve25519"):
+        c = TE_CURVES[name]
+        G = c.generator((1,))
+        P = te.from_affine(c, G)
+        three = te.add(c, te.double(c, P), P)
+        sc = fp.from_ints(c.scalar, [3], mont=False)
+        lhs = te.to_affine(c, three)
+        rhs = te.to_affine(c, te.scalar_mul(c, G, sc))
+        assert bool((fp.eq(lhs.x, rhs.x) & fp.eq(lhs.y, rhs.y)).all()), name

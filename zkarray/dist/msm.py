@@ -53,6 +53,7 @@ def msm_sharded(
         mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(axis), P(None, axis)),
         out_specs=P(),
+        check_vma=False,
     )
     def _shard_msm(px, py, pinf, sc):
         local = msm_mod.msm(

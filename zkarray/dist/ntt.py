@@ -84,7 +84,8 @@ def fft_sharded(
     x = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
 
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, axis)
+        jax.shard_map, mesh=mesh, in_specs=P(None, axis),
+        out_specs=P(None, axis), check_vma=False,
     )
     def _ntt(x_loc):
         # x_loc: (L, n/D) flat slice = (n1/D, n2) rows
@@ -110,11 +111,11 @@ def fft_sharded(
         C = fp.mont_mul(spec, B, T)
         # transpose: shard k1, gather i2 → (L, n1/D, n2)
         C = jax.lax.all_to_all(C, axis, split_axis=1, concat_axis=2, tiled=True)
-        E = _fft_core(spec, C, n2, w_n2, scale_int)  # (L, n1/D, n2) = [k1, k2]
-        # final transpose to natural order: want rows (k2, all k1)
-        E = jax.lax.all_to_all(E, axis, split_axis=2, concat_axis=1, tiled=True)
-        # now (L, n1, n2/D) = [k1, k2_local]; local transpose → (L, n2/D, n1)
-        out = E.transpose(0, 2, 1).reshape(L, n // D)
-        return out
+        # _fft_core transforms axis 1, so put i2 there: (L, n2, n1/D)
+        Ct = C.transpose(0, 2, 1)
+        E = _fft_core(spec, Ct, n2, w_n2, scale_int)  # (L, n2, n1/D) = [k2, k1_loc]
+        # natural order k = k2·n1 + k1: shard k2, gather k1 → (L, n2/D, n1)
+        E = jax.lax.all_to_all(E, axis, split_axis=1, concat_axis=2, tiled=True)
+        return E.reshape(L, n // D)
 
     return _ntt(x)

@@ -164,6 +164,9 @@ def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     L = spec.num_limbs
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    # leading limb axis: pad trailing batch dims before broadcasting
+    a = jnp.broadcast_to(a.reshape(a.shape + (1,) * (len(batch) - a.ndim + 1)), (L,) + batch)
+    b = jnp.broadcast_to(b.reshape(b.shape + (1,) * (len(batch) - b.ndim + 1)), (L,) + batch)
     zero_col = jnp.zeros(batch, dtype=jnp.uint32)
     cols = [zero_col] * (2 * L + 1)
     for i in range(L):
