@@ -105,6 +105,12 @@ class FieldSpec:
             self.sqrt_mode = "3mod4"
             self.sqrt_exp = (p + 1) // 4
             self.sqrt_qnr = None
+        elif p % 8 == 5:
+            # Atkin case (reference sqrt.rs Case5Mod8;
+            # selection: montgomery_backend.rs:566-597)
+            self.sqrt_mode = "5mod8"
+            self.sqrt_exp = (p + 3) // 8
+            self.sqrt_qnr = 2  # 2 is a guaranteed non-residue when p ≡ 5 (mod 8)
         else:
             # Tonelli–Shanks: needs a guaranteed quadratic non-residue. Some
             # reference configs ship a "generator" that is actually a square

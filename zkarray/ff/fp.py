@@ -395,6 +395,18 @@ def sqrt(spec: FieldSpec, a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         ok = eq(mont_sqr(spec, r), a)
         return select(ok, r, zero(spec, a.shape[1:])), ok
 
+    if spec.sqrt_mode == "5mod8":
+        # Atkin: x = a^((p+3)/8), corrected by 2^((p-1)/4) when
+        # a^((p-1)/4) = -1 (reference sqrt.rs Case5Mod8) — branchless select.
+        p = spec.modulus
+        batch = a.shape[1:]
+        r = pow_const(spec, a, (p + 3) // 8)
+        chk = pow_const(spec, a, (p - 1) // 4)
+        twist = const_array(spec, pow(2, (p - 1) // 4, p), batch)
+        r = select(is_one(spec, chk), r, mont_mul(spec, r, twist))
+        ok = eq(mont_sqr(spec, r), a)
+        return select(ok, r, zero(spec, batch)), ok
+
     s, t, p = spec.two_adicity, spec.trace, spec.modulus
     batch = a.shape[1:]
     cs_inv, _ = _ts_consts(spec)
