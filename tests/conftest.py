@@ -8,8 +8,10 @@ Benchmarks (bench.py) run on real TPU hardware separately.
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force CPU even if the shell
+# exports JAX_PLATFORMS (e.g. the axon TPU tunnel): the suite is designed for
+# the virtual 8-device CPU mesh; ZKARRAY_TEST_PLATFORM overrides explicitly.
+os.environ["JAX_PLATFORMS"] = os.environ.get("ZKARRAY_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
