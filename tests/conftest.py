@@ -21,9 +21,13 @@ if "xla_force_host_platform_device_count" not in flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Persistent XLA compilation cache: compile-heavy suites (unrolled limb
-# arithmetic) only pay compile cost once across runs.
-_cache_dir = os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", "/tmp/zkarray-xla-cache"
+# arithmetic) only pay compile cost once across runs. NOTE: jax 0.9 ignores
+# the JAX_COMPILATION_CACHE_DIR env var — jax.config.update is required.
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("ZKARRAY_CACHE_DIR", "/tmp/zkarray-xla-cache"),
 )
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

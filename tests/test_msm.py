@@ -19,8 +19,8 @@ def oracle_msm(pts, ks, a, mod):
 
 
 @pytest.mark.parametrize("curve", [bn254.G1, bls12_381.G1], ids=lambda c: c.name)
-@pytest.mark.parametrize("n,c,g", [(13, 4, 2), (64, 5, 8)])
-def test_msm_vs_naive(curve, n, c, g):
+@pytest.mark.parametrize("n,c", [(13, 4), (64, 5)])
+def test_msm_vs_naive(curve, n, c):
     a, mod = curve.a_int, curve.base.modulus
     r = curve.scalar.modulus
     rng = random.Random(n * 31 + c)
@@ -30,7 +30,7 @@ def test_msm_vs_naive(curve, n, c, g):
     ks = [0, 1, r - 1, 2, 3] + [rng.randrange(r) for _ in range(n - 5)]
     A = curve.affine_from_ints(pts)
     s = fp.from_ints(curve.scalar, ks, mont=False)
-    res = msm.msm_affine(curve, A, s, c, g)
+    res = msm.msm_affine(curve, A, s, c)
     got = curve.affine_to_ints(res)[0]
     assert got == oracle_msm(pts, ks, a, mod)
 
@@ -43,6 +43,58 @@ def test_msm_infinity_points():
     ks = [3, 7, 2, 0]
     A = curve.affine_from_ints(pts)
     s = fp.from_ints(curve.scalar, ks, mont=False)
-    res = msm.msm_affine(curve, A, s, 4, 2)
+    res = msm.msm_affine(curve, A, s, 4)
     got = curve.affine_to_ints(res)[0]
     assert got == oracle_msm([p for p in pts], ks, a, mod)
+
+
+def test_msm_degenerate_all_equal_scalars():
+    """Adversarial occupancy: every scalar identical -> one bucket per window
+    holds every point; the aligned-rounds while_loop must still be exact."""
+    curve = bn254.G1
+    a, mod = curve.a_int, curve.base.modulus
+    rng = random.Random(7)
+    gen = (curve.gen_x, curve.gen_y)
+    n = 32
+    pts = [ec_mul(gen, rng.randrange(1, 1 << 40), a, mod) for _ in range(n)]
+    k = rng.randrange(curve.scalar.modulus)
+    ks = [k] * n
+    A = curve.affine_from_ints(pts)
+    s = fp.from_ints(curve.scalar, ks, mont=False)
+    res = msm.msm_affine(curve, A, s, 5)
+    got = curve.affine_to_ints(res)[0]
+    assert got == oracle_msm(pts, ks, a, mod)
+
+
+def test_msm_duplicate_points():
+    """Same point repeatedly in one bucket exercises the XYZZ doubling edge."""
+    curve = bn254.G1
+    a, mod = curve.a_int, curve.base.modulus
+    gen = (curve.gen_x, curve.gen_y)
+    p5 = ec_mul(gen, 5, a, mod)
+    pts = [gen, gen, p5, p5, gen]
+    ks = [3, 3, 9, 9, 3]
+    A = curve.affine_from_ints(pts)
+    s = fp.from_ints(curve.scalar, ks, mont=False)
+    res = msm.msm_affine(curve, A, s, 4)
+    got = curve.affine_to_ints(res)[0]
+    assert got == oracle_msm(pts, ks, a, mod)
+
+
+@pytest.mark.slow
+def test_msm_2pow10_default_window():
+    """Reference-scale check: 2^10 points, default window (msm.rs:17-32)."""
+    curve = bn254.G1
+    a, mod = curve.a_int, curve.base.modulus
+    r = curve.scalar.modulus
+    rng = random.Random(1010)
+    gen = (curve.gen_x, curve.gen_y)
+    n = 1 << 10
+    multiples = [ec_mul(gen, k, a, mod) for k in range(1, 33)]
+    pts = [multiples[i % 32] for i in range(n)]
+    ks = [rng.randrange(r) for _ in range(n)]
+    A = curve.affine_from_ints(pts)
+    s = fp.from_ints(curve.scalar, ks, mont=False)
+    res = msm.msm_affine(curve, A, s)
+    got = curve.affine_to_ints(res)[0]
+    assert got == oracle_msm(pts, ks, a, mod)

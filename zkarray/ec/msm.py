@@ -1,46 +1,63 @@
 """Variable-base multi-scalar multiplication (Pippenger), TPU-shaped.
 
-Reference analog: ark-ec's VariableBaseMSM signed-digit wNAF Pippenger
+Reference analog: ark-ec's VariableBaseMSM signed-digit Pippenger
 (ec/src/scalar_mul/variable_base/mod.rs:242-793): window digits recentered to
-[-2^(c-1), 2^(c-1)) (make_digits :754-793), per-window bucket accumulation in
+[-2^(c-1), 2^(c-1)] (make_digits :754-793), per-window bucket accumulation in
 XYZZ coordinates, bucket suffix sums, Horner window combine.
 
-TPU design (SURVEY.md §2.7 #3): instead of rayon threads, a lane grid of
-K = W·G lanes (W windows × G point-groups). Each lane owns a private bucket
-array; one lax.scan step gathers each lane's target bucket, performs a
-batched XYZZ mixed add across all K lanes, and scatters back. Total work is
-the Pippenger optimum W·N mixed adds; serial depth is N/G scan steps. Bucket
-arrays then reduce across G (log tree), suffix-scan across buckets
-(associative_scan), and Horner-combine across windows.
+TPU design — "aligned bucket rounds": the CPU reference scatters each point
+into buckets[digit] (mod.rs:464-475), a data-dependent scatter that is hostile
+to XLA. Instead:
+
+1.  Per window, sort point indices by |digit| (one batched lax.sort).
+2.  From the sorted keys, compute each bucket's [start, end) range via a
+    vectorized binary search — bucket b's r-th point sits at sorted position
+    start[b] + r.
+3.  Round r then adds, FOR EVERY BUCKET AT ONCE, its r-th point:
+    a (W, B)-shaped gather followed by one dense batched XYZZ mixed-add into
+    the (W, B) bucket array. No scatter exists anywhere: the bucket axis is
+    aligned with the lane axis by construction, and no two points target the
+    same bucket within a round.
+4.  ``rounds = max bucket occupancy`` (a lax.while_loop bound): work is
+    W·(N + slack) mixed adds — the Pippenger optimum plus the occupancy
+    imbalance — and every add runs at W·B-lane batch width.
+5.  Bucket reduction Σ b·bucket_b uses a two-level chunked suffix scheme
+    (reference :477-484 does serial suffix sums), then Horner across windows.
+
+Degenerate inputs (e.g. all scalars equal) stay correct: the while_loop just
+runs more rounds.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zkarray.core import limbs as lb
 from zkarray.ec import sw
-from zkarray.ec.sw import AffinePoints, JacobianPoints, SWCurveSpec, XYZZPoints
+from zkarray.ec.sw import AffinePoints, SWCurveSpec, XYZZPoints
 from zkarray.ff import fp
 
 
 def default_window_size(n: int) -> int:
-    """Reference heuristic: ln(n) + 2 (ec/src/scalar_mul/mod.rs:22-25)."""
-    if n < 32:
+    """Window size heuristic. The reference uses ln(n)+2 (ec/src/scalar_mul/
+    mod.rs:22-25) to balance N·W bucket adds against W·2^c bucket reduction;
+    the aligned-rounds design additionally pays per-round occupancy slack
+    ~sqrt(2^c·ln(B)/N) relative, which favours slightly smaller windows:
+    c ≈ log2(n)/2 + 3."""
+    if n <= 32:
         return 3
-    return min(16, int(math.log2(n) * 69 / 100) + 2)
+    return max(3, min(16, int(math.log2(n)) // 2 + 3))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def signed_digits(spec, scalars: jnp.ndarray, c: int, num_windows: int) -> jnp.ndarray:
     """Scalar limbs (canonical) -> signed window digits (W, N) int32 in
-    [-2^(c-1), 2^(c-1)). Reference: make_digits (variable_base/mod.rs:754-793).
+    [-2^(c-1), 2^(c-1)]. Reference: make_digits (variable_base/mod.rs:754-793).
     Requires c <= 16 so a window spans at most two 16-bit limbs.
     """
     assert 1 <= c <= 16
@@ -68,143 +85,162 @@ def signed_digits(spec, scalars: jnp.ndarray, c: int, num_windows: int) -> jnp.n
     return jnp.stack(outs)
 
 
-def _auto_groups(n: int, w: int, nbuckets: int, limbs: int) -> int:
-    """Pick G (point groups per window) so cross-group reduction work
-    (W·G·B adds) stays well under scan work (W·N) and bucket state fits."""
-    g = max(1, n // (4 * nbuckets))
-    # state bytes = 4 coords · limbs · W·G · B · 4
-    while g > 1 and 16 * limbs * w * g * nbuckets > (3 << 30):
-        g //= 2
-    # g must divide padded n; round down to a power of two
-    g = 1 << (g.bit_length() - 1)
-    return g
+def _searchsorted_batch(keys: jnp.ndarray, n_vals: int) -> jnp.ndarray:
+    """starts[w, v] = first index i with keys[w, i] >= v+1, for v in
+    [0, n_vals); keys (W, N) sorted int32. Vectorized binary search
+    (log2(N) select passes), batched over windows."""
+    W, N = keys.shape
+    vals = jnp.arange(1, n_vals + 1, dtype=jnp.int32)[None, :]  # (1, V)
+    lo = jnp.zeros((W, n_vals), dtype=jnp.int32)
+    hi = jnp.full((W, n_vals), N, dtype=jnp.int32)
+    steps = max(1, int(math.ceil(math.log2(max(N, 2)))) + 1)
+    for _ in range(steps):
+        active = lo < hi
+        mid = (lo + hi) >> 1  # < N whenever active (hi <= N, lo < hi)
+        km = jnp.take_along_axis(keys, jnp.minimum(mid, N - 1), axis=1)
+        go_right = active & (km < vals)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    return hi  # == lo
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _weighted_bucket_sum(curve: SWCurveSpec, bk: XYZZPoints, s: int) -> XYZZPoints:
+    """Σ_{j=0..B-1} (j+1)·bk[..., j] per window, bk coords (L, W, B).
+
+    Two-level chunked suffix sums: within chunks of size s (vectorized across
+    all W·(B/s) chunks) and then across chunks — 2·(B + B/s) point adds total,
+    ~2 sequential adds per step. Reference computes the same quantity with a
+    serial running suffix (variable_base/mod.rs:477-484).
+    """
+    L, W, B = bk.x.shape
+    assert B % s == 0
+    C = B // s
+    ch = XYZZPoints(*(v.reshape(L, W, C, s) for v in bk))
+
+    def at(v, i):
+        return jax.lax.dynamic_index_in_dim(v, i, axis=3, keepdims=False)
+
+    zero = sw.xyzz_zero(curve, (W, C))
+
+    def body1(i, carry):
+        run, acc = carry
+        idx = s - 1 - i
+        p = XYZZPoints(*(at(v, idx) for v in ch))
+        run = sw.xyzz_add(curve, run, p)
+        acc = sw.xyzz_add(curve, acc, run)
+        return run, acc
+
+    run, acc = jax.lax.fori_loop(0, s, body1, (zero, zero))
+    # run = per-chunk plain sum A_c; acc = per-chunk weighted sum (weights 1..s)
+
+    def at2(v, i):
+        return jax.lax.dynamic_index_in_dim(v, i, axis=2, keepdims=False)
+
+    zero_w = sw.xyzz_zero(curve, (W,))
+
+    def body2(i, carry):
+        run2, acc2, tot = carry
+        cidx = C - 1 - i
+        a_c = XYZZPoints(*(at2(v, cidx) for v in run))
+        t_c = XYZZPoints(*(at2(v, cidx) for v in acc))
+        tot = sw.xyzz_add(curve, tot, t_c)  # Σ_c T_c
+        acc2 = sw.xyzz_add(curve, acc2, run2)  # Σ_{c>=1} Σ_{j>=c} A_j = Σ c·A_c
+        run2 = sw.xyzz_add(curve, run2, a_c)
+        return run2, acc2, tot
+
+    # Process c = C-1 .. 0; acc2 accumulates run2 BEFORE adding A_c so that
+    # A_c is counted c times: after all steps acc2 = Σ_c c·A_c.
+    _, acc2, tot = jax.lax.fori_loop(0, C, body2, (zero_w, zero_w, zero_w))
+
+    # total = Σ_c T_c + s·(Σ_c c·A_c)
+    def dbl_n(v, k):
+        return jax.lax.fori_loop(0, k, lambda _, t: sw.xyzz_double(curve, t), v)
+
+    assert s & (s - 1) == 0
+    scaled = dbl_n(acc2, int(math.log2(s)))
+    return sw.xyzz_add(curve, tot, scaled)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
 def msm(
     curve: SWCurveSpec,
     points: AffinePoints,
     scalars: jnp.ndarray,
     c: Optional[int] = None,
-    groups: Optional[int] = None,
 ) -> XYZZPoints:
     """Σ scalars_i · points_i. ``scalars``: canonical limbs (Ls, N).
 
     Returns a single XYZZ point (batch shape ()); use sw.xyzz_to_affine.
+    Matches VariableBaseMSM::msm (variable_base/mod.rs:437-503) output.
     """
     f = curve.base
     L = f.num_limbs
     n = points.x.shape[1]
     if c is None:
         c = default_window_size(n)
-    half = 1 << (c - 1)
-    B = half + 1  # bucket magnitudes 0..half (0 unused)
+    half = 1 << (c - 1)  # buckets 1..half; slot j holds bucket j+1
     scalar_bits = curve.scalar.bits
     W = scalar_bits // c + 1 + (1 if scalar_bits % c else 0)
-    G = groups or _auto_groups(n, W, B, L)
-    T = -(-n // G)  # points per group (scan length)
-    pad = G * T - n
 
     digits = signed_digits(curve.scalar, scalars, c, W)  # (W, N) int32
-    px, py = points.x, points.y
-    pinf = points.inf
-    if pad:
-        px = jnp.pad(px, ((0, 0), (0, pad)))
-        py = jnp.pad(py, ((0, 0), (0, pad)))
-        pinf = jnp.pad(pinf, (0, pad), constant_values=True)
-        digits = jnp.pad(digits, ((0, 0), (0, pad)))
-    py_neg = fp.neg(f, py)
+    mag = jnp.abs(digits)
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (W, n))
+    keys, sidx = jax.lax.sort_key_val(mag, iota, dimension=1)
+    ssign = jnp.take_along_axis(digits < 0, sidx, axis=1)  # (W, N) bool
 
-    # rearrange: point index = g·T + t → (T, ..., G)
-    def to_tg(a):  # (..., G*T) -> (T, ..., G)
-        a2 = a.reshape(a.shape[:-1] + (G, T))
-        return jnp.moveaxis(a2, -1, 0)
+    # bucket b (1..half) occupies sorted range [S[b-1], S[b]) where
+    # S[v-1] = first index with key >= v; S has half+1 entries (v=1..half+1)
+    S = _searchsorted_batch(keys, half + 1)  # (W, half+1)
+    counts = S[:, 1:] - S[:, :-1]  # (W, half)
+    rounds = jnp.max(counts)
 
-    xs = (to_tg(px), to_tg(py), to_tg(py_neg), to_tg(pinf), to_tg(digits))
-    K = W * G
+    state0 = sw.xyzz_zero(curve, (W, half))
+    px, py, pinf = points.x, points.y, points.inf
 
-    lanes = jnp.arange(K)
-    state0 = sw.xyzz_zero(curve, (K, B))
+    def cond(carry):
+        return carry[0] < rounds
 
-    def step(state, xs_t):
-        x_t, y_t, yneg_t, inf_t, dig_t = xs_t  # (L,G),(L,G),(L,G),(G,),(W,G)
-        mag = jnp.abs(dig_t).reshape(K)  # (K,) — lane (w,g) flattened
-        negm = (dig_t < 0).reshape(K)
-        skip = (mag == 0) | jnp.broadcast_to(inf_t[None, :], (W, G)).reshape(K)
-        # broadcast point coords across windows: (L, G) -> (L, K)
-        xb = jnp.broadcast_to(x_t[:, None, :], (L, W, G)).reshape(L, K)
-        yb = jnp.broadcast_to(y_t[:, None, :], (L, W, G)).reshape(L, K)
-        ynb = jnp.broadcast_to(yneg_t[:, None, :], (L, W, G)).reshape(L, K)
-        A = AffinePoints(xb, fp.select(negm, ynb, yb), skip)
-        # gather each lane's bucket
-        sel = XYZZPoints(*(s[:, lanes, mag] for s in state))  # (L, K) each
-        new = sw.xyzz_add_affine(curve, sel, A)
-        state = XYZZPoints(
-            *(s.at[:, lanes, mag].set(v) for s, v in zip(state, new))
-        )
-        return state, None
+    def body(carry):
+        r, state = carry
+        pos = S[:, :-1] + r  # (W, half)
+        valid = pos < S[:, 1:]
+        posc = jnp.where(valid, pos, 0)
+        idx = jnp.take_along_axis(sidx, posc, axis=1)  # (W, half)
+        sg = jnp.take_along_axis(ssign, posc, axis=1)
+        gx = px[:, idx]  # (L, W, half)
+        gy = py[:, idx]
+        ginf = pinf[idx] | ~valid
+        gy = fp.select(sg, fp.neg(f, gy), gy)
+        state = sw.xyzz_add_affine(curve, state, AffinePoints(gx, gy, ginf))
+        return r + jnp.int32(1), state
 
-    state, _ = jax.lax.scan(step, state0, xs)
+    _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
 
-    # reshape lanes back to (W, G): (L, K, B) -> (L, W, G, B)
-    bk = XYZZPoints(*(s.reshape(L, W, G, B) for s in state))
-    # tree-reduce across G
-    g = G
-    while g > 1:
-        h = g // 2
-        lo = XYZZPoints(*(s[:, :, :h] for s in bk))
-        hi = XYZZPoints(*(s[:, :, h : 2 * h] for s in bk))
-        merged = sw.xyzz_add(curve, lo, hi)
-        if g % 2:
-            tail = XYZZPoints(*(s[:, :, 2 * h :] for s in bk))
-            merged = XYZZPoints(
-                *(jnp.concatenate([m, t], axis=2) for m, t in zip(merged, tail))
-            )
-            g = h + 1
-        else:
-            g = h
-        bk = merged
-    bk = XYZZPoints(*(s[:, :, 0] for s in bk))  # (L, W, B)
-
-    # suffix sums over buckets 1..half: S_b = Σ_{j>=b} bucket_j, then
-    # window_sum = Σ_b b·bucket_b = Σ_b S_b (reference :477-484)
-    body = XYZZPoints(*(s[:, :, 1:] for s in bk))  # (L, W, half)
-    suffix = jax.lax.associative_scan(
-        lambda p, q: sw.xyzz_add(curve, p, q), body, axis=2, reverse=True
-    )
-    # tree-sum the suffix array over the bucket axis
-    m = half
-    acc = suffix
-    while m > 1:
-        h = m // 2
-        lo = XYZZPoints(*(s[:, :, :h] for s in acc))
-        hi = XYZZPoints(*(s[:, :, h : 2 * h] for s in acc))
-        red = sw.xyzz_add(curve, lo, hi)
-        if m % 2:
-            red = XYZZPoints(
-                *(jnp.concatenate([r, s[:, :, 2 * h :]], axis=2) for r, s in zip(red, acc))
-            )
-            m = h + 1
-        else:
-            m = h
-        acc = red
-    win = XYZZPoints(*(s[:, :, 0] for s in acc))  # (L, W)
+    # per-window weighted bucket reduction
+    s_chunk = 1 << (int(math.log2(half)) // 2) if half >= 4 else 1
+    if half % s_chunk or s_chunk == 1:
+        s_chunk = half  # tiny windows: single chunk
+    win = _weighted_bucket_sum(curve, state, s_chunk)  # coords (L, W)
 
     # Horner over windows, high→low: total = (total · 2^c) + win_w
     def outer(w, tot):
-        def dbl(_, t):
-            return sw.xyzz_double(curve, t)
-
-        tot = jax.lax.fori_loop(0, c, dbl, tot)
+        tot = jax.lax.fori_loop(0, c, lambda _, t: sw.xyzz_double(curve, t), tot)
         w_idx = W - 2 - w
-        wp = XYZZPoints(*(jax.lax.dynamic_index_in_dim(s, w_idx, axis=1, keepdims=False) for s in win))
+        wp = XYZZPoints(
+            *(
+                jax.lax.dynamic_index_in_dim(v, w_idx, axis=1, keepdims=False)
+                for v in win
+            )
+        )
         return sw.xyzz_add(curve, tot, wp)
 
-    top = XYZZPoints(*(s[:, W - 1] for s in win))
+    top = XYZZPoints(*(v[:, W - 1] for v in win))
     total = jax.lax.fori_loop(0, W - 1, outer, top)
     return total
 
 
-def msm_affine(curve, points, scalars, c=None, groups=None) -> AffinePoints:
-    res = msm(curve, points, scalars, c, groups)
-    return sw.xyzz_to_affine(curve, XYZZPoints(*(s.reshape(s.shape + (1,)) for s in res)))
+def msm_affine(curve, points, scalars, c=None) -> AffinePoints:
+    res = msm(curve, points, scalars, c)
+    return sw.xyzz_to_affine(
+        curve, XYZZPoints(*(v.reshape(v.shape + (1,)) for v in res))
+    )

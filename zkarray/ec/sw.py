@@ -306,7 +306,15 @@ def jac_neg(spec: SWCurveSpec, P: JacobianPoints) -> JacobianPoints:
 @functools.partial(jax.jit, static_argnums=0)
 def xyzz_add_affine(spec: SWCurveSpec, P: XYZZPoints, A: AffinePoints) -> XYZZPoints:
     """Bucket += affine point (mmadd-xyzz), the MSM inner loop
-    (reference: Bucket::AddAssign<&Affine>, bucket.rs)."""
+    (reference: Bucket::AddAssign<&Affine>, bucket.rs). On TPU, a fused
+    Pallas kernel (zkarray/kernels/sw.py) evaluates the whole formula; the
+    XLA path below is the bit-identical portable fallback."""
+    from zkarray import kernels as _k
+
+    if _k.use_pallas(P.x.shape[1:]):
+        from zkarray.kernels import sw as _ksw
+
+        return _ksw.xyzz_add_affine(spec, P, A)
     f = spec.base
     X1, Y1, ZZ1, ZZZ1 = P
     U2 = fp.mont_mul(f, A.x, ZZ1)

