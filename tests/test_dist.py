@@ -28,7 +28,7 @@ def test_msm_sharded_vs_oracle():
     A = curve.affine_from_ints(pts)
     s = fp.from_ints(curve.scalar, ks, mont=False)
     mesh = make_mesh(8)
-    res = msm_sharded(curve, A, s, mesh, c=4, groups=1)
+    res = msm_sharded(curve, A, s, mesh, c=4)
     aff = sw.xyzz_to_affine(
         curve, sw.XYZZPoints(*(x.reshape(x.shape + (1,)) for x in res))
     )

@@ -27,7 +27,6 @@ def msm_sharded(
     scalars: jnp.ndarray,
     mesh: Mesh,
     c: Optional[int] = None,
-    groups: Optional[int] = None,
     axis: str = "shards",
 ) -> XYZZPoints:
     """Σ scalars_i · points_i with the point axis sharded over ``mesh``.
@@ -56,9 +55,7 @@ def msm_sharded(
         check_vma=False,
     )
     def _shard_msm(px, py, pinf, sc):
-        local = msm_mod.msm(
-            curve, AffinePoints(px, py, pinf), sc, c, groups
-        )  # XYZZ, batch ()
+        local = msm_mod.msm(curve, AffinePoints(px, py, pinf), sc, c)  # XYZZ ()
         # gather per-device partials: (L,) -> (L, D) along a new axis
         parts = XYZZPoints(
             *(
