@@ -25,6 +25,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # the JAX_COMPILATION_CACHE_DIR env var — jax.config.update is required.
 import jax  # noqa: E402
 
+# The axon TPU plugin registers itself in every interpreter via
+# sitecustomize. When the suite runs on CPU, drop its backend factory:
+# initializing it anyway (jax inits all registered plugins) can hang the
+# whole suite if the TPU worker/relay is down — measured round 2 after a
+# worker crash. Harmless when the factory is absent.
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # sitecustomize imports jax BEFORE conftest runs, with the shell's
+    # JAX_PLATFORMS=axon already baked into jax.config — so the env-var
+    # assignment above is NOT enough: force the config value too, or the
+    # whole "CPU" suite silently targets the axon TPU tunnel (measured
+    # round 2: every jit compiled remotely; a TPU-worker crash then hung
+    # backend init and with it every test run).
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("ZKARRAY_CACHE_DIR", "/tmp/zkarray-xla-cache"),

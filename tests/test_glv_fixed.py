@@ -45,3 +45,31 @@ def test_fixed_base_batch_mul():
     s = fp.from_ints(curve.scalar, ks, mont=False)
     res = sw.to_affine(curve, tbl.batch_mul(s))
     assert curve.affine_to_ints(res) == [ec_mul(gen, k, a, mod) for k in ks]
+
+
+def test_glv_parameter_sets_algebraic():
+    """Every shipped GLV spec satisfies β³=1 (β≠1) in Fq and λ²+λ+1=0 in Fr,
+    and decompose(k) returns k1+λk2 ≡ k with |k1|,|k2| ~ sqrt(r)
+    (reference curves/*/g1.rs GLVConfig consts + test-templates glv.rs)."""
+    from zkarray.ec import glv as glv_mod
+
+    specs = [
+        glv_mod.bls12_381_g1_glv(),
+        glv_mod.bn254_g1_glv(),
+        glv_mod.bls12_377_g1_glv(),
+        glv_mod.bw6_761_g1_glv(),
+        glv_mod.pallas_glv(),
+        glv_mod.vesta_glv(),
+    ]
+    rng = np.random.default_rng(11)
+    for g in specs:
+        q = g.curve.base.modulus
+        r = g.curve.scalar.modulus
+        beta, lam = g.endo_coeff, g.lam
+        assert pow(beta, 3, q) == 1 and beta != 1, g.curve.name
+        assert (lam * lam + lam + 1) % r == 0, g.curve.name
+        for _ in range(4):
+            k = int(rng.integers(1, 1 << 62)) * int(rng.integers(1, 1 << 62))
+            k1, k2 = g.decompose(k % r)
+            assert (k1 + lam * k2 - (k % r)) % r == 0, g.curve.name
+            assert max(abs(k1), abs(k2)) < 1 << ((r.bit_length() // 2) + 3), g.curve.name

@@ -137,3 +137,29 @@ def test_evaluations_algebra():
     coeffs = ea.interpolate()
     back = Evaluations.from_coeffs(dom, coeffs)
     assert fp.to_ints(SPEC, back.evals) == a
+
+
+def test_sparse_mle_fix_variables_and_to_dense():
+    """Sparse fix_variables + to_dense agree with the dense MLE fold
+    (reference sparse.rs fix_variables)."""
+    import jax.numpy as jnp
+
+    nv = 4
+    entries = {0: 7, 3: 11, 9: 5, 14: 13}
+    dense_tab = [entries.get(i, 0) for i in range(1 << nv)]
+    d = fp.from_ints(SPEC, dense_tab)
+    idx = jnp.asarray(np.asarray(sorted(entries), dtype=np.int32))
+    vals = fp.from_ints(SPEC, [entries[i] for i in sorted(entries)])
+
+    r = fp.from_ints(SPEC, [21, 34])  # fix first two variables
+    want = mle.fix_variables(SPEC, d, r)
+
+    nidx, nvals = mle.fix_variables_sparse(SPEC, idx, vals, r, 2)
+    got = mle.sparse_to_dense(SPEC, nidx, nvals, nv - 2)
+    assert fp.to_ints(SPEC, got) == fp.to_ints(SPEC, want)
+
+    # full evaluation via evaluate_sparse matches dense evaluate
+    pt = fp.from_ints(SPEC, [3, 1, 4, 1])
+    ev_d = mle.evaluate(SPEC, d, pt)
+    ev_s = mle.evaluate_sparse(SPEC, idx, vals, pt)
+    assert fp.to_ints(SPEC, ev_d) == fp.to_ints(SPEC, ev_s)

@@ -111,5 +111,9 @@ def deserialize_g1(
         if validate:
             ok &= np.asarray(sw_mod.is_on_curve(b381.G1, pts))
     if validate:
-        ok &= np.asarray(sw_mod.subgroup_check(b381.G1, pts))
+        # endomorphism check (φ(P) == −[X²]P) — the reference's fast path
+        # for this consensus-critical branch (bls12_381/g1.rs:69-85)
+        from zkarray.ec import fast_checks
+
+        ok &= np.asarray(fast_checks.bls12_381_g1_subgroup_check(b381.G1, pts))
     return pts, ok

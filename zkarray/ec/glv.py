@@ -151,3 +151,83 @@ def bls12_381_g1_glv():
             (True, 228988810152649578064853576960394133503),
         ],
     )
+
+
+def bn254_g1_glv():
+    from zkarray.curves import bn254 as b
+
+    return GLVSpec(
+        b.G1,
+        endo_coeff=21888242871839275220042445260109153167277707414472061641714758635765020556616,
+        lam=21888242871839275217838484774961031246154997185409878258781734729429964517155,
+        decomp=[
+            (False, 147946756881789319000765030803803410728),
+            (True, 9931322734385697763),
+            (False, 9931322734385697763),
+            (False, 147946756881789319010696353538189108491),
+        ],
+    )
+
+
+def bls12_377_g1_glv():
+    from zkarray.curves import bls12_377 as b
+
+    return GLVSpec(
+        b.G1,
+        endo_coeff=258664426012969093929703085429980814127835149614277183275038967946009968870203535512256352201271898244626862047231,
+        lam=8444461749428370424248824938781546531284005582649182570233710176290576793600,
+        decomp=[
+            (True, 91893752504881257701523279626832445441),
+            (True, 1),
+            (False, 1),
+            (True, 91893752504881257701523279626832445440),
+        ],
+    )
+
+
+def bw6_761_g1_glv():
+    from zkarray.curves import bw6_761 as b
+
+    return GLVSpec(
+        b.G1,
+        endo_coeff=4922464560225523242118178942575080391082002530232324381063048548642823052024664478336818169867474395270858391911405337707247735739826664939444490469542109391530482826728203582549674992333383150446779312029624171857054392282775648,
+        lam=258664426012969093929703085429980814127835149614277183275038967946009968870203535512256352201271898244626862047231,
+        decomp=[
+            (True, 293634935485640680722085584138834120324914961969255022593),
+            (False, 293634935485640680722085584138834120315328839056164388863),
+            (True, 293634935485640680722085584138834120315328839056164388863),
+            (True, 587269870971281361444171168277668240640243801025419411456),
+        ],
+    )
+
+
+def pallas_glv():
+    from zkarray.curves import zoo
+
+    return GLVSpec(
+        zoo.PALLAS,
+        endo_coeff=20444556541222657078399132219657928148671392403212669005631716460534733845831,
+        lam=26005156700822196841419187675678338661165322343552424574062261873906994770353,
+        decomp=[
+            (False, 98231058071100081932162823354453065728),
+            (True, 98231058071186745657228807397848383489),
+            (False, 196462116142286827589391630752301449217),
+            (False, 98231058071100081932162823354453065728),
+        ],
+    )
+
+
+def vesta_glv():
+    from zkarray.curves import zoo
+
+    return GLVSpec(
+        zoo.VESTA,
+        endo_coeff=26005156700822196841419187675678338661165322343552424574062261873906994770353,
+        lam=20444556541222657078399132219657928148671392403212669005631716460534733845831,
+        decomp=[
+            (False, 98231058071100081932162823354453065729),
+            (True, 98231058071186745657228807397848383488),
+            (False, 196462116142286827589391630752301449217),
+            (False, 98231058071100081932162823354453065729),
+        ],
+    )

@@ -161,17 +161,25 @@ def _weighted_bucket_sum(curve: SWCurveSpec, bk: XYZZPoints, s: int) -> XYZZPoin
     return sw.xyzz_add(curve, tot, scaled)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def msm(
     curve: SWCurveSpec,
     points: AffinePoints,
     scalars: jnp.ndarray,
     c: Optional[int] = None,
+    max_scalar_bits: Optional[int] = None,
 ) -> XYZZPoints:
     """Σ scalars_i · points_i. ``scalars``: canonical limbs (Ls, N).
 
     Returns a single XYZZ point (batch shape ()); use sw.xyzz_to_affine.
     Matches VariableBaseMSM::msm (variable_base/mod.rs:437-503) output.
+
+    ``max_scalar_bits`` is the TPU-shaped magnitude specialization
+    (reference msm_signed's ±u8/±u16/... width classes,
+    variable_base/mod.rs:242-347): a static bound on every scalar's bit
+    length shrinks the window count W — the compiled kernel does
+    proportionally less work. Use msm_mixed() for per-class dispatch of
+    heterogeneous scalar batches.
     """
     f = curve.base
     L = f.num_limbs
@@ -180,6 +188,8 @@ def msm(
         c = default_window_size(n)
     half = 1 << (c - 1)  # buckets 1..half; slot j holds bucket j+1
     scalar_bits = curve.scalar.bits
+    if max_scalar_bits is not None:
+        scalar_bits = min(scalar_bits, max_scalar_bits)
     W = scalar_bits // c + 1 + (1 if scalar_bits % c else 0)
 
     digits = signed_digits(curve.scalar, scalars, c, W)  # (W, N) int32
@@ -244,3 +254,99 @@ def msm_affine(curve, points, scalars, c=None) -> AffinePoints:
     return sw.xyzz_to_affine(
         curve, XYZZPoints(*(v.reshape(v.shape + (1,)) for v in res))
     )
+
+
+# ---------------------------------------------------------------------------
+# magnitude-partitioned front-end (reference msm_signed's ScalarSize classes,
+# ec/src/scalar_mul/variable_base/mod.rs:242-434)
+# ---------------------------------------------------------------------------
+
+SCALAR_CLASSES = (1, 8, 16, 32, 64)
+
+
+def classify_scalars(scalars_np: np.ndarray, num_bits: int):
+    """Host pass: scalar limb matrix (Ls, N) -> per-class index arrays.
+
+    The reference classifies at runtime and par-sorts (mod.rs:251-290); on
+    TPU the class split must be STATIC to specialize the compiled kernels,
+    so classification runs on the host (a cheap O(N·Ls) numpy pass) and each
+    class gets its own fixed-shape MSM. Returns [(bits, idx_array)] with
+    every scalar in exactly one class; empty classes omitted.
+    """
+    Ls, n = scalars_np.shape
+    # bit length per scalar from the top nonzero limb
+    bitlen = np.zeros(n, dtype=np.int64)
+    for i in range(Ls):
+        limb = scalars_np[i].astype(np.int64)
+        nz = limb != 0
+        lb = np.zeros(n, dtype=np.int64)
+        lb[nz] = np.floor(np.log2(limb[nz])).astype(np.int64) + 1
+        bitlen = np.where(nz, 16 * i + lb, bitlen)
+    out = []
+    prev = 0
+    for b in SCALAR_CLASSES + (num_bits,):
+        if b > num_bits:
+            b = num_bits
+        sel = np.nonzero((bitlen > prev) & (bitlen <= b))[0]
+        if sel.size:
+            out.append((b, sel))
+        prev = b
+        if b == num_bits:
+            break
+    # scalars that are exactly zero contribute nothing — drop them
+    return out
+
+
+def _msm_binary(curve: SWCurveSpec, points: AffinePoints) -> XYZZPoints:
+    """Σ P_i (all scalars = 1): log-tree XYZZ reduction — the reference's
+    msm_binary (mod.rs:373-390) without the sort."""
+    n = points.x.shape[1]
+    st = sw.xyzz_from_affine(curve, points)
+    m = n
+    while m > 1:
+        h = m // 2
+        lo = XYZZPoints(*(v[..., :h] for v in st))
+        hi = XYZZPoints(*(v[..., h : 2 * h] for v in st))
+        red = sw.xyzz_add(curve, lo, hi)
+        if m % 2:
+            red = XYZZPoints(
+                *(
+                    jnp.concatenate([a, v[..., 2 * h :]], axis=-1)
+                    for a, v in zip(red, st)
+                )
+            )
+            m = h + 1
+        else:
+            m = h
+        st = red
+    return XYZZPoints(*(v[..., 0] for v in st))
+
+
+def msm_mixed(
+    curve: SWCurveSpec,
+    points: AffinePoints,
+    scalars: jnp.ndarray,
+    c: Optional[int] = None,
+) -> XYZZPoints:
+    """Magnitude-partitioned MSM: classify on host, dispatch each class to
+    a width-specialized kernel, add the partial results (reference
+    msm_signed, mod.rs:242-347). Syncs the scalars to host once.
+    """
+    sc_np = np.asarray(scalars)
+    num_bits = curve.scalar.bits
+    classes = classify_scalars(sc_np, num_bits)
+    total = None
+    for bits, idx in classes:
+        sub_pts = AffinePoints(
+            points.x[:, idx], points.y[:, idx], points.inf[idx]
+        )
+        if bits <= 1:
+            part = _msm_binary(curve, sub_pts)
+        else:
+            part = msm(
+                curve, sub_pts, scalars[:, idx], c, int(bits)
+            )
+        total = part if total is None else sw.xyzz_add(curve, total, part)
+    if total is None:
+        return sw.xyzz_zero(curve, ())
+    return total

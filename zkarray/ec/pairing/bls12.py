@@ -25,6 +25,7 @@ import numpy as np
 
 from zkarray.ec.sw import AffinePoints
 from zkarray.ec.sw_ext import ExtAffine, ExtCurveSpec
+from zkarray.ff import cyclotomic as cyc
 from zkarray.ff import fp
 from zkarray.ff.sparse12 import fp12_mul_by_014, fp12_mul_by_034
 
@@ -203,20 +204,11 @@ def multi_miller_loop(bspec: Bls12Spec, P: AffinePoints, Qp: G2Prepared,
 # ---------------------------------------------------------------------------
 
 def _cyclotomic_exp_x(bspec, f):
-    """f^|X| by square-and-multiply (cyclotomic input), then conjugate if
-    X < 0 (reference exp_by_x)."""
+    """f^|X| with Granger–Scott cyclotomic squarings (input is in the
+    cyclotomic subgroup after the easy part), then conjugate if X < 0
+    (reference exp_by_x + CyclotomicMultSubgroup::cyclotomic_exp)."""
     F12 = bspec.fq12
-    batch = F12.batch_shape_of(f)
-    bits = jnp.asarray(
-        np.asarray([int(b) for b in bin(bspec.x_abs)[2:]], dtype=np.uint32)
-    )
-
-    def body(r, bit):
-        r = F12.sqr(r)  # TODO: Karabina cyclotomic square
-        rm = F12.mul(r, f)
-        return F12.select(jnp.broadcast_to(bit == 1, batch), rm, r), None
-
-    r, _ = jax.lax.scan(body, F12.one(batch), bits)
+    r = cyc.cyclotomic_exp_binary(F12, f, bspec.x_abs)
     return F12.conjugate(r) if bspec.x_neg else r
 
 
@@ -231,7 +223,7 @@ def final_exponentiation(bspec: Bls12Spec, f):
     r = F12.frobenius(r, 2)
     r = F12.mul(r, f2)             # f^((p^6-1)(p^2+1))
     # hard part (gurvy schedule)
-    y0 = F12.sqr(r)                # cyclotomic square
+    y0 = cyc.cyclotomic_sqr(F12, r)
     y1 = _cyclotomic_exp_x(bspec, r)
     y2 = F12.conjugate(r)
     y1 = F12.mul(y1, y2)

@@ -20,6 +20,7 @@ import numpy as np
 
 from zkarray.ec.pairing import bls12 as _b
 from zkarray.ec.sw import AffinePoints
+from zkarray.ff import cyclotomic as cyc
 from zkarray.ec.sw_ext import ExtAffine, ExtCurveSpec
 
 
@@ -140,19 +141,10 @@ def multi_miller_loop(bspec: BnSpec, P: AffinePoints, Qp: BnG2Prepared,
 
 
 def _exp_by_neg_x(bspec: BnSpec, f):
-    """f^{-X} cyclotomic (reference Bn::exp_by_neg_x)."""
+    """f^{-X} with Granger–Scott cyclotomic squarings (reference
+    Bn::exp_by_neg_x via CyclotomicMultSubgroup)."""
     F12 = bspec.fq12
-    batch = F12.batch_shape_of(f)
-    bits = jnp.asarray(
-        np.asarray([int(b) for b in bin(bspec.x_abs)[2:]], dtype=np.uint32)
-    )
-
-    def body(r, bit):
-        r = F12.sqr(r)
-        rm = F12.mul(r, f)
-        return F12.select(jnp.broadcast_to(bit == 1, batch), rm, r), None
-
-    r, _ = jax.lax.scan(body, F12.one(batch), bits)
+    r = cyc.cyclotomic_exp_binary(F12, f, bspec.x_abs)
     return r if bspec.x_neg else F12.conjugate(r)
 
 
@@ -168,11 +160,11 @@ def final_exponentiation(bspec: BnSpec, f):
     r = F12.mul(r, f2)
 
     y0 = _exp_by_neg_x(bspec, r)
-    y1 = F12.sqr(y0)
-    y2 = F12.sqr(y1)
+    y1 = cyc.cyclotomic_sqr(F12, y0)
+    y2 = cyc.cyclotomic_sqr(F12, y1)
     y3 = F12.mul(y2, y1)
     y4 = _exp_by_neg_x(bspec, y3)
-    y5 = F12.sqr(y4)
+    y5 = cyc.cyclotomic_sqr(F12, y4)
     y6 = _exp_by_neg_x(bspec, y5)
     y3 = F12.conjugate(y3)
     y6 = F12.conjugate(y6)

@@ -217,26 +217,51 @@ class ExtOps:
 
     # ---- multiplication / squaring ----
 
+    def _mul_many(self, pairs):
+        """Batch k base-level products into ONE recursive multiplication by
+        stacking operands on a fresh batch axis. Bottoms out in a single
+        fused mont_mul over k·batch lanes instead of k separate unrolled
+        CIOS graphs — the "few, bigger jit units" rule; a full Fp12 mul
+        becomes one 18·n-lane Fp2-level → 54·n-lane prime-level mul chain
+        instead of 54 individual muls (compile-time AND VPU-occupancy win).
+        """
+        B = self.base
+        ax = len(B.shape) + 1  # position after coeff axes + limb axis
+        xs = jnp.stack([p[0] for p in pairs], axis=ax)
+        ys = jnp.stack([p[1] for p in pairs], axis=ax)
+        prod = B.mul(xs, ys)
+        return [jnp.take(prod, i, axis=ax) for i in range(len(pairs))]
+
     def mul(self, a, b):
         B = self.base
         if self.deg == 2:
             # Karatsuba (reference quadratic_extension.rs mul)
-            v0 = B.mul(a[0], b[0])
-            v1 = B.mul(a[1], b[1])
-            c0 = B.add(v0, self.mul_nonresidue(v1))
-            c1 = B.sub(
-                B.sub(B.mul(B.add(a[0], a[1]), B.add(b[0], b[1])), v0), v1
+            v0, v1, v01 = self._mul_many(
+                [
+                    (a[0], b[0]),
+                    (a[1], b[1]),
+                    (B.add(a[0], a[1]), B.add(b[0], b[1])),
+                ]
             )
+            c0 = B.add(v0, self.mul_nonresidue(v1))
+            c1 = B.sub(B.sub(v01, v0), v1)
             return self._stack([c0, c1])
         # cubic: 6-mul Toom-style (reference cubic_extension.rs mul)
-        v0 = B.mul(a[0], b[0])
-        v1 = B.mul(a[1], b[1])
-        v2 = B.mul(a[2], b[2])
-        t0 = B.sub(B.sub(B.mul(B.add(a[1], a[2]), B.add(b[1], b[2])), v1), v2)
+        v0, v1, v2, m12, m01, m02 = self._mul_many(
+            [
+                (a[0], b[0]),
+                (a[1], b[1]),
+                (a[2], b[2]),
+                (B.add(a[1], a[2]), B.add(b[1], b[2])),
+                (B.add(a[0], a[1]), B.add(b[0], b[1])),
+                (B.add(a[0], a[2]), B.add(b[0], b[2])),
+            ]
+        )
+        t0 = B.sub(B.sub(m12, v1), v2)
         c0 = B.add(v0, self.mul_nonresidue(t0))
-        t1 = B.sub(B.sub(B.mul(B.add(a[0], a[1]), B.add(b[0], b[1])), v0), v1)
+        t1 = B.sub(B.sub(m01, v0), v1)
         c1 = B.add(t1, self.mul_nonresidue(v2))
-        t2 = B.sub(B.sub(B.mul(B.add(a[0], a[2]), B.add(b[0], b[2])), v0), v2)
+        t2 = B.sub(B.sub(m02, v0), v2)
         c2 = B.add(t2, v1)
         return self._stack([c0, c1, c2])
 
@@ -244,21 +269,22 @@ class ExtOps:
         B = self.base
         if self.deg == 2:
             # complex-style: 2 base muls (reference quad ext square_in_place)
-            v = B.mul(a[0], a[1])
-            t = B.mul(
-                B.add(a[0], a[1]), B.add(a[0], self.mul_nonresidue(a[1]))
+            v, t = self._mul_many(
+                [
+                    (a[0], a[1]),
+                    (B.add(a[0], a[1]), B.add(a[0], self.mul_nonresidue(a[1]))),
+                ]
             )
             c0 = B.sub(B.sub(t, v), self.mul_nonresidue(v))
             c1 = B.double(v)
             return self._stack([c0, c1])
         # CH-SQR2 (reference cubic_extension.rs square_in_place)
-        s0 = B.sqr(a[0])
-        ab = B.mul(a[0], a[1])
+        m = B.add(B.sub(a[0], a[1]), a[2])
+        s0, ab, s2, bc, s4 = self._mul_many(
+            [(a[0], a[0]), (a[0], a[1]), (m, m), (a[1], a[2]), (a[2], a[2])]
+        )
         s1 = B.double(ab)
-        s2 = B.sqr(B.add(B.sub(a[0], a[1]), a[2]))
-        bc = B.mul(a[1], a[2])
         s3 = B.double(bc)
-        s4 = B.sqr(a[2])
         c0 = B.add(s0, self.mul_nonresidue(s3))
         c1 = B.add(s1, self.mul_nonresidue(s4))
         c2 = B.sub(B.add(B.add(s1, s2), s3), B.add(s0, s4))

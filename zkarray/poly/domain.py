@@ -121,16 +121,51 @@ class Radix2Domain:
     # ---- transforms ----
 
     def fft(self, coeffs: jnp.ndarray) -> jnp.ndarray:
-        """Coefficients (L, m) m <= n → evaluations (L, n) on the coset."""
+        """Coefficients (L, m) m <= n → evaluations (L, n) on the coset.
+
+        Degree-aware: when the (power-of-two-padded) coefficient count m2
+        satisfies 4·m2 <= n, evaluation costs O(n·log m2) instead of
+        O(n·log n) (reference degree_aware_fft_in_place,
+        poly/src/domain/radix2/fft.rs:29-71): the n-point grid splits into
+        n/m2 cosets w_n^j·<w_m2>; each coset evaluation is a size-m2 FFT of
+        the coeffs twisted by powers of w_n^j — n/m2 batched transforms.
+        """
         spec, n = self.spec, self.size
         m = coeffs.shape[1]
+        if m > n:
+            raise ValueError("too many coefficients for domain")
+        m2 = 1 << max(0, (m - 1)).bit_length()
+        if 4 * m2 <= n and m2 >= 1:
+            return self._degree_aware_fft(coeffs, m2)
         if m < n:
             coeffs = jnp.pad(coeffs, ((0, 0), (0, n - m)))
-        elif m > n:
-            raise ValueError("too many coefficients for domain")
         if self.offset_int != 1:
             coeffs = distribute_powers(spec, coeffs, self.offset_int)
         return _fft_core(spec, coeffs, n, self.group_gen_int, None)
+
+    def _degree_aware_fft(self, coeffs: jnp.ndarray, m2: int) -> jnp.ndarray:
+        spec, n, p = self.spec, self.size, self.spec.modulus
+        m = coeffs.shape[1]
+        if m < m2:
+            coeffs = jnp.pad(coeffs, ((0, 0), (0, m2 - m)))
+        if self.offset_int != 1:
+            coeffs = distribute_powers(spec, coeffs, self.offset_int)
+        k = n // m2
+        # twist table T[j, i] = w_n^{j·i}, j < k, i < m2 — gathered from the
+        # full power table (indices j·i < n are all distinct mod n reads)
+        full = power_table(spec, self.group_gen_int, n)  # (L, n)
+        ji = (
+            np.arange(k, dtype=np.int64)[:, None]
+            * np.arange(m2, dtype=np.int64)[None, :]
+        ) % n
+        T = full[:, jnp.asarray(ji.astype(np.int32))]  # (L, k, m2)
+        tw = fp.mont_mul(spec, T, coeffs[:, None, :])  # (L, k, m2)
+        # batched size-m2 FFTs along axis 1 with rest axis k
+        w_m2 = pow(self.group_gen_int, k, p)
+        evals = _fft_core(
+            spec, jnp.swapaxes(tw, 1, 2), m2, w_m2, None
+        )  # (L, m2, k): evals[:, t, j] = f(w^j·w_m2^t) = f(w^{t·k + j})
+        return evals.reshape(spec.num_limbs, n)
 
     def ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
         """Evaluations on the coset → coefficients (L, n)."""
@@ -185,6 +220,64 @@ class Radix2Domain:
 
     def mul_polynomials_in_evaluation_domain(self, a, b):
         return fp.mont_mul(self.spec, a, b)
+
+    # ---- vanishing / filter polynomials (reference mod.rs:213-271) ----
+
+    def vanishing_polynomial(self):
+        """Z(X) = X^n − offset^n as sparse (degrees, coeffs)."""
+        from zkarray.poly import sparse
+
+        p = self.spec.modulus
+        return sparse.uv_from_terms(
+            self.spec, [(0, (-self.offset_pow_size_int) % p), (self.size, 1)]
+        )
+
+    def filter_polynomial(self, subdomain: "Radix2Domain"):
+        """Dense coeffs of the polynomial that is 1 on ``subdomain`` and 0 on
+        the rest of this domain (reference filter_polynomial,
+        poly/src/domain/mod.rs:238-259). Closed form: both vanishing polys
+        are binomials, so the quotient is Σ_i b^{k-1-i}·X^{iM} with
+        b = offset_S^M, k = n/M — no long division needed."""
+        p = self.spec.modulus
+        N, M = self.size, subdomain.size
+        if N % M:
+            raise ValueError("subdomain size must divide domain size")
+        k = N // M
+        b = subdomain.offset_pow_size_int
+        if pow(b, k, p) != self.offset_pow_size_int:
+            raise ValueError("subdomain is not contained in this domain")
+        scale = (M * b) % p * pow(N % p, -1, p) % p
+        terms = [(i * M, pow(b, k - 1 - i, p) * scale % p) for i in range(k)]
+        from zkarray.poly import sparse
+
+        degrees, coeffs = sparse.uv_from_terms(self.spec, terms)
+        return sparse.uv_to_dense(self.spec, degrees, coeffs, (k - 1) * M + 1)
+
+    def evaluate_filter_polynomial(self, subdomain: "Radix2Domain", tau):
+        """Filter polynomial evaluated at tau (batched), reference
+        mod.rs:261-271."""
+        spec = self.spec
+        v_sub = subdomain.evaluate_vanishing_polynomial(tau)
+        v_self = self.evaluate_vanishing_polynomial(tau)
+        c_int = (subdomain.size * pow(self.size, -1, spec.modulus)) % spec.modulus
+        val = fp.mont_mul(
+            spec,
+            fp.mont_mul(spec, fp.const_array(spec, c_int, ()), v_self),
+            fp.inv(spec, v_sub),
+        )
+        on_sub = fp.is_zero(spec, v_sub)
+        return fp.select(on_sub, fp.one(spec, val.shape[1:]), val)
+
+    def reindex_by_subdomain(self, other: "Radix2Domain", index: int) -> int:
+        """Index translation when the first |S| elements are a subdomain's
+        (reference mod.rs:288-310)."""
+        assert self.size >= other.size
+        period = self.size // other.size
+        if index < other.size:
+            return index * period
+        i = index - other.size
+        x = period - 1
+        return i + (i // x) + 1
 
     def __repr__(self):
         return f"Radix2Domain({self.spec.name}, 2^{self.log_size}, offset={self.offset_int})"

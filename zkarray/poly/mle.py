@@ -121,3 +121,44 @@ def evaluate_sparse(
     return fp.tree_sum(spec, fp.mont_mul(spec, gathered, values), axis=0).reshape(
         spec.num_limbs, 1
     )
+
+
+# ---------------------------------------------------------------------------
+# sparse MLE (reference: .../multilinear/sparse.rs)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def fix_variables_sparse(
+    spec: FieldSpec,
+    indices: jnp.ndarray,
+    values: jnp.ndarray,
+    points: jnp.ndarray,
+    num_fixed: int,
+):
+    """Fix the first ``num_fixed`` variables of a sparse MLE to ``points``
+    (L, num_fixed). Returns (new_indices, new_values) over the remaining
+    variables; entries with equal index MAY repeat (multiset semantics —
+    evaluate_sparse and sparse_to_dense sum duplicates, so all downstream
+    ops agree with the reference's hashmap-merging fix_variables,
+    sparse.rs). Weight of entry i: eq(low bits of idx_i, points)."""
+    tbl = eq_table(spec, points)  # (L, 2^m)
+    low = indices & ((1 << num_fixed) - 1)
+    w = jnp.take(tbl, low, axis=1)  # (L, nnz)
+    return indices >> num_fixed, fp.mont_mul(spec, values, w)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def sparse_to_dense(
+    spec: FieldSpec, indices: jnp.ndarray, values: jnp.ndarray, nv: int
+) -> jnp.ndarray:
+    """Sparse MLE -> dense evaluation table (L, 2^nv), summing duplicate
+    indices (reference sparse.rs to_dense_multilinear_extension)."""
+    n = 1 << nv
+    onehot = indices[None, :] == jnp.arange(n, dtype=indices.dtype)[:, None]
+    # (n, nnz) mask; select values where the mask holds, then tree-sum nnz
+    sel = fp.select(
+        onehot,
+        jnp.broadcast_to(values[:, None, :], (spec.num_limbs, n, values.shape[1])),
+        fp.zero(spec, (n, values.shape[1])),
+    )
+    return fp.tree_sum(spec, sel, axis=1)
