@@ -1,16 +1,27 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-North-star metric (BASELINE.json): BLS12-381 G1 MSM points/s/chip at
-2^18-2^20, plus Fr NTT elems/s. ``vs_baseline`` compares against 1.0e6
-points/s — the order of magnitude of arkworks' multicore CPU Pippenger at
-2^20 (the reference publishes no absolute numbers, and this image has no Rust
-toolchain to measure one; see BASELINE.md).
+North-star metric (BASELINE.json): BLS12-381 G1 MSM points/s/chip, plus Fr
+NTT elems/s and the int32-MAC roofline fraction of the field-mul kernel.
 
-Timing notes (measured, round 2): the axon TPU tunnel's block_until_ready
-does not block until execution — every timing must synchronize via a
-device-to-host copy. First-run compiles are cached persistently in
-.jax_cache/ inside the repo so driver re-runs skip the (large) XLA sort
-compile.
+Design rules (learned rounds 1-2, where rc=124 with no JSON twice):
+* HARD WALL-CLOCK BUDGET (default 20 min, ``--budget-s``): the ladder stops
+  early and always prints whatever it has banked.
+* Health probe first: the axon TPU tunnel can be wedged by a previous
+  worker crash; a cheap probe (and one retry) decides fast instead of
+  burning the budget on doomed compiles.
+* SAFE PATH FIRST: the fused-XLA path banks a number before the Pallas
+  kernel path (which once kernel-faulted the TPU worker at 2^18) is tried.
+  Each measurement runs in a SUBPROCESS so a worker crash costs one
+  attempt, not the bench. After any Pallas attempt the tunnel is re-probed.
+* ``vs_baseline`` denominator: 1.0e6 points/s — an ASSUMED order-of-
+  magnitude anchor for arkworks' multicore-CPU Pippenger at 2^20. The
+  reference publishes no absolute numbers and this image has no Rust
+  toolchain to measure one (BASELINE.md); the ``baseline`` field in the
+  output says so explicitly.
+
+Timing note (measured, round 2): the axon tunnel's block_until_ready does
+not block until execution — every timing must synchronize via a
+device-to-host copy (np.asarray).
 """
 
 import argparse
@@ -19,6 +30,7 @@ import os
 import sys
 import time
 
+BASELINE_NOTE = "nominal_1e6_pts_per_s_cpu_assumed_unmeasured"
 
 def _log(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
@@ -30,16 +42,9 @@ import numpy as np
 
 
 def _setup_jax():
-    import jax
+    from zkarray.jaxcache import setup_cache
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
-    return jax
+    return setup_cache()
 
 
 def _sync(x):
@@ -47,8 +52,22 @@ def _sync(x):
     return np.asarray(x)
 
 
+# ---------------------------------------------------------------------------
+# measurement bodies (run inside worker subprocesses)
+# ---------------------------------------------------------------------------
+
+def bench_probe():
+    """Tiny end-to-end op: proves the device tunnel is alive."""
+    _setup_jax()
+    import jax.numpy as jnp
+
+    v = int(_sync(jnp.arange(8).sum()))
+    assert v == 28
+    return {"ok": True}
+
+
 def bench_msm(log_n: int, curve_name: str = "bls12_381", iters: int = 3):
-    jax = _setup_jax()
+    _setup_jax()
     import jax.numpy as jnp
 
     from zkarray.curves import bls12_381, bn254
@@ -93,11 +112,12 @@ def bench_msm(log_n: int, curve_name: str = "bls12_381", iters: int = 3):
         out = msm_mod.msm(curve, A, s)
     _sync(out.zz)
     dt = (time.perf_counter() - t0) / iters
-    return n / dt, dt
+    return {"pts_per_s": n / dt, "dt": dt, "log_n": log_n,
+            "pallas": os.environ.get("ZKARRAY_PALLAS", "1") != "0"}
 
 
 def bench_ntt(log_n: int, iters: int = 5):
-    jax = _setup_jax()
+    _setup_jax()
     import jax.numpy as jnp
 
     from zkarray.curves import bls12_381
@@ -119,18 +139,55 @@ def bench_ntt(log_n: int, iters: int = 5):
         out = dom.fft(a)
     _sync(out[0, :4])
     dt = (time.perf_counter() - t0) / iters
-    return n / dt, dt
+    return {"eps": n / dt, "dt": dt, "log_n": log_n}
 
 
-def _worker(args):
-    """Single measurement, prints one JSON fragment (internal)."""
-    if args.worker == "msm":
-        pts_per_s, dt = bench_msm(args.msm_log_n)
-        print(json.dumps({"pts_per_s": pts_per_s, "dt": dt, "log_n": args.msm_log_n}))
-    else:
-        eps, dt = bench_ntt(args.ntt_log_n)
-        print(json.dumps({"eps": eps, "dt": dt, "log_n": args.ntt_log_n}))
+def bench_roofline(log_n: int = 20, iters: int = 8):
+    """Field-mul throughput vs int32-MAC speed of light (bench/roofline.py
+    model; folded into the bench JSON per BASELINE.json)."""
+    _setup_jax()
+    import jax
+    import jax.numpy as jnp
 
+    from zkarray.curves import bls12_381
+    from zkarray.ff import fp
+
+    spec = bls12_381.FQ
+    L = spec.num_limbs
+    n = 1 << log_n
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 1 << 16, size=(L, n), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 1 << 16, size=(L, n), dtype=np.uint32))
+    K = 16
+
+    @jax.jit
+    def chain(a, b):
+        x = a
+        for _ in range(K):
+            x = fp.mont_mul(spec, x, b)
+        return x
+
+    _log("roofline: compiling mul chain...")
+    out = chain(a, b)
+    _sync(out[0, :2])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = chain(out, b)
+    _sync(out[0, :2])
+    dt = (time.perf_counter() - t0) / iters
+    muls_per_s = K * n / dt
+    macs = 2 * L * L + 4 * L
+    vpu_peak = float(os.environ.get("ZKARRAY_VPU_INT32_OPS", 8 * 128 * 0.94e9))
+    return {
+        "mont_muls_per_s": muls_per_s,
+        "roofline_fraction": muls_per_s * macs / vpu_peak,
+        "limbs": L,
+    }
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
 
 def _run_worker(what, log_n, timeout_s, extra_env=None):
     """Run one measurement in a SUBPROCESS: a TPU-worker crash (e.g. a
@@ -139,9 +196,9 @@ def _run_worker(what, log_n, timeout_s, extra_env=None):
 
     env = dict(os.environ)
     env.update(extra_env or {})
-    flag = "--msm-log-n" if what == "msm" else "--ntt-log-n"
     cmd = [sys.executable, "-u", os.path.abspath(__file__), "--worker", what,
-           flag, str(log_n)]
+           "--log-n", str(int(log_n))]
+    t0 = time.time()
     try:
         out = subprocess.run(
             cmd, capture_output=True, text=True, timeout=timeout_s, env=env
@@ -151,7 +208,9 @@ def _run_worker(what, log_n, timeout_s, extra_env=None):
         return None
     for line in reversed(out.stdout.strip().splitlines()):
         try:
-            return json.loads(line)
+            r = json.loads(line)
+            _log(f"{what} 2^{log_n}: done in {time.time()-t0:.0f}s")
+            return r
         except Exception:
             continue
     _log(f"{what} 2^{log_n}: worker failed rc={out.returncode}: "
@@ -161,71 +220,124 @@ def _run_worker(what, log_n, timeout_s, extra_env=None):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--budget-s", type=float,
+                    default=float(os.environ.get("ZKARRAY_BENCH_BUDGET_S", 1200)))
     ap.add_argument("--msm-log-n", type=int, default=18)
     ap.add_argument("--ntt-log-n", type=int, default=20)
-    ap.add_argument("--what", default="both", choices=["msm", "ntt", "both"])
-    ap.add_argument("--worker", default=None, choices=[None, "msm", "ntt"])
-    ap.add_argument("--no-subprocess", action="store_true")
+    ap.add_argument("--worker", default=None,
+                    choices=[None, "probe", "msm", "ntt", "roofline"])
+    ap.add_argument("--log-n", type=int, default=0)
     args = ap.parse_args()
-    if args.worker:
-        return _worker(args)
 
-    if args.no_subprocess:
-        results = {}
-        if args.what in ("msm", "both"):
-            pts_per_s, dt = bench_msm(args.msm_log_n)
-            results.update(msm={"pts_per_s": pts_per_s, "dt": dt})
-        if args.what in ("ntt", "both"):
-            eps, dt = bench_ntt(args.ntt_log_n)
-            results.update(ntt={"eps": eps, "dt": dt})
-        print(json.dumps(results))
+    if args.worker:
+        fn = {"probe": lambda: bench_probe(),
+              "msm": lambda: bench_msm(args.log_n),
+              "ntt": lambda: bench_ntt(args.log_n),
+              "roofline": lambda: bench_roofline(args.log_n or 20)}[args.worker]
+        print(json.dumps(fn()))
         return
 
+    t_start = time.time()
+
+    def remaining():
+        return args.budget_s - (time.time() - t_start)
+
+    def attempt(what, log_n, cap, env=None, floor=120):
+        """One budgeted subprocess attempt; None if out of budget/failed."""
+        t = min(cap, remaining() - 20)
+        if t < floor:
+            _log(f"skip {what} 2^{log_n}: {remaining():.0f}s left")
+            return None
+        return _run_worker(what, log_n, timeout_s=t, extra_env=env)
+
     results = {}
-    if args.what in ("msm", "both"):
-        # fallback ladder: full size → smaller size → XLA path (no pallas)
-        attempts = [
-            (args.msm_log_n, {}),
-            (max(14, args.msm_log_n - 2), {}),
-            (max(14, args.msm_log_n - 2), {"ZKARRAY_PALLAS": "0"}),
-        ]
-        for log_n, env in attempts:
-            r = _run_worker("msm", log_n, timeout_s=1500, extra_env=env)
-            if r:
-                results = {
-                    "metric": f"bls12_381_g1_msm_2^{r['log_n']}_points_per_s",
-                    "value": round(r["pts_per_s"], 1),
-                    "unit": "points/s",
-                    "vs_baseline": round(r["pts_per_s"] / 1.0e6, 4),
-                    "msm_seconds": round(r["dt"], 4),
-                }
-                break
-    if args.what in ("ntt", "both"):
-        for log_n in (args.ntt_log_n, max(16, args.ntt_log_n - 4)):
-            r = _run_worker("ntt", log_n, timeout_s=900)
-            if r:
-                extra = {
-                    "ntt_metric": f"bls12_381_fr_ntt_2^{r['log_n']}_elems_per_s",
-                    "ntt_value": round(r["eps"], 1),
-                    "ntt_seconds": round(r["dt"], 4),
-                }
-                if results:
-                    results.update(extra)
-                else:
-                    results = {
-                        "metric": extra["ntt_metric"],
-                        "value": extra["ntt_value"],
-                        "unit": "elems/s",
-                        "vs_baseline": round(r["eps"] / 1.0e7, 4),
-                    }
-                break
+    msm_best = None  # (pts_per_s, record)
+
+    # 1. health probe (retry once: tunnel recovers in ~1 min after a wedge)
+    probe = attempt("probe", 0, cap=300, floor=60)
+    if not probe:
+        _log("probe failed; waiting 45s and retrying")
+        time.sleep(45)
+        probe = attempt("probe", 0, cap=300, floor=60)
+    if not probe:
+        print(json.dumps({
+            "metric": "bench_failed_tpu_unreachable", "value": 0,
+            "unit": "n/a", "vs_baseline": 0.0, "baseline": BASELINE_NOTE,
+        }))
+        return
+
+    xla = {"ZKARRAY_PALLAS": "0"}
+
+    def bank_msm(r):
+        nonlocal msm_best
+        if r and (msm_best is None or r["pts_per_s"] > msm_best[0]):
+            msm_best = (r["pts_per_s"], r)
+
+    # 2. safe XLA path, moderate size: the bankable number
+    bank_msm(attempt("msm", 16, cap=600, env=xla))
+
+    # 3. NTT
+    ntt = attempt("ntt", args.ntt_log_n, cap=480)
+    if not ntt:
+        ntt = attempt("ntt", 16, cap=300)
+
+    # 4. bigger XLA MSM
+    bank_msm(attempt("msm", args.msm_log_n, cap=480, env=xla))
+
+    # 5. risky Pallas-kernel path LAST (a kernel fault can wedge the tunnel)
+    if msm_best is not None and remaining() > 240:
+        r = attempt("msm", args.msm_log_n, cap=420)
+        if r:
+            bank_msm(r)
+            # 6. scale up on the winning path while budget remains
+            if remaining() > 300:
+                env = None if r is msm_best[1] else xla
+                bank_msm(attempt("msm", args.msm_log_n + 2, cap=420, env=env))
+        else:
+            _log("pallas attempt failed; re-probing tunnel")
+            attempt("probe", 0, cap=240, floor=60)
+
+    # 7. roofline
+    roof = attempt("roofline", 20, cap=300)
+
+    if msm_best:
+        r = msm_best[1]
+        results = {
+            "metric": f"bls12_381_g1_msm_2^{r['log_n']}_points_per_s",
+            "value": round(r["pts_per_s"], 1),
+            "unit": "points/s",
+            "vs_baseline": round(r["pts_per_s"] / 1.0e6, 4),
+            "baseline": BASELINE_NOTE,
+            "msm_seconds": round(r["dt"], 4),
+            "msm_kernel_path": "pallas" if r.get("pallas") else "xla",
+        }
+    if ntt:
+        extra = {
+            "ntt_metric": f"bls12_381_fr_ntt_2^{ntt['log_n']}_elems_per_s",
+            "ntt_value": round(ntt["eps"], 1),
+            "ntt_seconds": round(ntt["dt"], 4),
+        }
+        if results:
+            results.update(extra)
+        else:
+            results = {
+                "metric": extra["ntt_metric"],
+                "value": extra["ntt_value"],
+                "unit": "elems/s",
+                "vs_baseline": round(ntt["eps"] / 1.0e7, 4),
+                "baseline": "nominal_1e7_ntt_elems_per_s_cpu_assumed",
+            }
+    if roof:
+        results.update(
+            mont_muls_per_s=round(roof["mont_muls_per_s"], 1),
+            roofline_fraction=round(roof["roofline_fraction"], 4),
+        )
     if not results:
         results = {
-            "metric": "bench_failed",
-            "value": 0,
-            "unit": "n/a",
-            "vs_baseline": 0.0,
+            "metric": "bench_failed", "value": 0, "unit": "n/a",
+            "vs_baseline": 0.0, "baseline": BASELINE_NOTE,
         }
+    results["bench_seconds"] = round(time.time() - t_start, 1)
     print(json.dumps(results))
 
 

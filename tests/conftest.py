@@ -39,9 +39,6 @@ if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
     # backend init and with it every test run).
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("ZKARRAY_CACHE_DIR", "/tmp/zkarray-xla-cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from zkarray.jaxcache import setup_cache  # noqa: E402
+
+setup_cache(os.environ.get("ZKARRAY_CACHE_DIR", "/tmp/zkarray-xla-cache"))

@@ -32,3 +32,42 @@ def ec_mul(p, k, a, mod):
         if bit == "1":
             acc = ec_add(acc, p, a, mod)
     return acc
+
+
+def ec_msm_oracle(pts, scalars, a, mod):
+    """Σ k_i·P_i as affine int pair (or None for identity)."""
+    acc = None
+    for p, k in zip(pts, scalars):
+        acc = ec_add(acc, ec_mul(p, k, a, mod), a, mod)
+    return acc
+
+
+# --- generic-field short-Weierstrass oracle (host tower elements) ---
+
+def ec_add_f(F, p, q, a):
+    """Affine add over any host field ops F (zkarray.ff.tower_host)."""
+    if p is None:
+        return q
+    if q is None:
+        return p
+    x1, y1 = p
+    x2, y2 = q
+    if F.eq(x1, x2) and F.eq(F.add(y1, y2), F.zero()):
+        return None
+    if F.eq(x1, x2) and F.eq(y1, y2):
+        num = F.add(F.mul(F.embed(3), F.mul(x1, x1)), a)
+        lam = F.mul(num, F.inv(F.add(y1, y1)))
+    else:
+        lam = F.mul(F.sub(y2, y1), F.inv(F.sub(x2, x1)))
+    x3 = F.sub(F.sub(F.mul(lam, lam), x1), x2)
+    y3 = F.sub(F.mul(lam, F.sub(x1, x3)), y1)
+    return (x3, y3)
+
+
+def ec_mul_f(F, p, k, a):
+    acc = None
+    for bit in bin(k)[2:] if k else "":
+        acc = ec_add_f(F, acc, acc, a)
+        if bit == "1":
+            acc = ec_add_f(F, acc, p, a)
+    return acc

@@ -54,3 +54,57 @@ def test_pallas_butterfly_matches_fp():
     want_b = [(l - h * t) % p for l, h, t in zip(los, his, ws)]
     assert fp.to_ints(spec, a) == want_a
     assert fp.to_ints(spec, b) == want_b
+
+
+def test_pallas_xyzz_add_affine_matches_xla_and_oracle(monkeypatch):
+    """Fused XYZZ mixed-add kernel (kernels/sw.py) vs the XLA path and the
+    Python-int oracle, covering every edge class the kernel selects on:
+    generic add, doubling (P == A), cancellation (P == -A), P at infinity,
+    A at infinity, and both at infinity."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from ec_oracle import ec_add, ec_mul
+
+    from zkarray.ec import sw
+    from zkarray.kernels import sw as ksw
+
+    curve = bls12_381.G1
+    mod = curve.base.modulus
+    gen = (curve.gen_x, curve.gen_y)
+    rng = np.random.default_rng(11)
+
+    n = 64
+    p_ints, a_ints = [], []
+    for i in range(n):
+        k1 = int(rng.integers(1, 1 << 20))
+        k2 = int(rng.integers(1, 1 << 20))
+        cls = i % 6
+        P = ec_mul(gen, k1, curve.a_int, mod)
+        if cls == 0:
+            A = ec_mul(gen, k2, curve.a_int, mod)      # generic
+        elif cls == 1:
+            A = P                                       # doubling
+        elif cls == 2:
+            A = (P[0], (-P[1]) % mod)                   # cancellation
+        elif cls == 3:
+            P, A = None, ec_mul(gen, k2, curve.a_int, mod)  # P at inf
+        elif cls == 4:
+            A = None                                    # A at inf
+        else:
+            P, A = None, None
+        p_ints.append(P)
+        a_ints.append(A)
+
+    Pa = curve.affine_from_ints(p_ints)
+    Pz = sw.xyzz_from_affine(curve, Pa)
+    Aa = curve.affine_from_ints(a_ints)
+
+    got_kernel = ksw.xyzz_add_affine(curve, Pz, Aa)  # interpreter on CPU
+    got_xla = sw.xyzz_add_affine(curve, Pz, Aa)      # small batch: XLA path
+
+    for v_k, v_x in zip(got_kernel, got_xla):
+        assert np.array_equal(np.asarray(v_k), np.asarray(v_x))
+
+    got_pts = curve.affine_to_ints(sw.xyzz_to_affine(curve, got_kernel))
+    want = [ec_add(P, A, curve.a_int, mod) for P, A in zip(p_ints, a_ints)]
+    assert got_pts == want

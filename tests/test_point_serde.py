@@ -84,3 +84,131 @@ def test_zcash_g1_uncompressed_vectors():
     back, ok = zc.deserialize_g1(want, compress=False, validate=False)
     assert ok.all()
     assert b381.G1.affine_to_ints(back) == pts
+
+
+# ---------------------------------------------------------------------------
+# zcash G2 wire format (x = c1 BE ‖ c0 BE; util.rs:174-256)
+# ---------------------------------------------------------------------------
+
+def _first_k_g2_multiples(k):
+    from ec_oracle import ec_add_f
+
+    F = b381.FQ2.host
+    g = (b381.G2.gen_x, b381.G2.gen_y)
+    a = F.zero()
+    pts = [None]  # vectors start at 0·G (tests/mod.rs test_vectors! loop)
+    cur = None
+    for _ in range(k - 1):
+        cur = ec_add_f(F, cur, g, a)
+        pts.append(cur)
+    return pts
+
+
+def _g2_affine_from_host(pts):
+    import jax.numpy as jnp
+
+    F2 = b381.FQ2
+    from zkarray.ec import sw_ext
+
+    z = ((0, 0), (0, 0))
+    xy = [z if p is None else p for p in pts]
+    c0x = [p[0][0] for p in xy]
+    c1x = [p[0][1] for p in xy]
+    c0y = [p[1][0] for p in xy]
+    c1y = [p[1][1] for p in xy]
+    return sw_ext.ExtAffine(
+        F2.from_ints([c0x, c1x]),
+        F2.from_ints([c0y, c1y]),
+        jnp.asarray([p is None for p in pts]),
+    )
+
+
+def test_zcash_g2_compressed_vectors():
+    k = 32
+    raw = open(os.path.join(VEC_DIR, "g2_compressed_valid_test_vectors.dat"), "rb").read()
+    want = np.frombuffer(raw[: k * 96], dtype=np.uint8).reshape(k, 96)
+    pts = _first_k_g2_multiples(k)
+    A = _g2_affine_from_host(pts)
+    got = zc.serialize_g2(A, compress=True)
+    assert np.array_equal(got, want)
+    back, ok = zc.deserialize_g2(want, compress=True, validate=False)
+    assert ok.all()
+    assert np.asarray(back.inf).tolist() == [p is None for p in pts]
+    F2 = b381.FQ2
+    live = [p for p in pts if p is not None]
+    sel = [i for i, p in enumerate(pts) if p is not None]
+    gx = F2.to_ints(back.x)
+    gy = F2.to_ints(back.y)
+    assert [gx[0][i] for i in sel] == [p[0][0] for p in live]
+    assert [gx[1][i] for i in sel] == [p[0][1] for p in live]
+    assert [gy[0][i] for i in sel] == [p[1][0] for p in live]
+    assert [gy[1][i] for i in sel] == [p[1][1] for p in live]
+
+
+def test_zcash_g2_uncompressed_vectors():
+    k = 16
+    raw = open(os.path.join(VEC_DIR, "g2_uncompressed_valid_test_vectors.dat"), "rb").read()
+    want = np.frombuffer(raw[: k * 192], dtype=np.uint8).reshape(k, 192)
+    pts = _first_k_g2_multiples(k)
+    A = _g2_affine_from_host(pts)
+    got = zc.serialize_g2(A, compress=False)
+    assert np.array_equal(got, want)
+    back, ok = zc.deserialize_g2(want, compress=False, validate=False)
+    assert ok.all()
+    assert np.asarray(back.inf).tolist() == [p is None for p in pts]
+    F2 = b381.FQ2
+    live = [p for p in pts if p is not None]
+    sel = [i for i, p in enumerate(pts) if p is not None]
+    gx = F2.to_ints(back.x)
+    assert [gx[0][i] for i in sel] == [p[0][0] for p in live]
+    assert [gx[1][i] for i in sel] == [p[0][1] for p in live]
+
+
+def test_zcash_g2_infinity_and_subgroup():
+    import jax.numpy as jnp
+    from zkarray.ec import sw_ext
+
+    F2 = b381.FQ2
+    inf = sw_ext.ExtAffine(F2.zero((1,)), F2.zero((1,)), jnp.ones(1, dtype=bool))
+    b = zc.serialize_g2(inf, compress=True)
+    assert b[0, 0] == 0xC0 and not b[0, 1:].any()
+    back, ok = zc.deserialize_g2(b, compress=True, validate=True)
+    assert ok.all() and bool(back.inf[0])
+    # a valid generator encoding passes the ψ subgroup check
+    gen = _g2_affine_from_host(_first_k_g2_multiples(1))
+    enc = zc.serialize_g2(gen, compress=True)
+    _, ok = zc.deserialize_g2(enc, compress=True, validate=True)
+    assert ok.all()
+    # an on-curve point NOT in the r-subgroup must fail validate:
+    # cofactor > 1, so take an x with a solution and check via deserialize
+    # of a tweaked encoding: flip the sort bit of the generator encoding —
+    # still on curve (other root), still in subgroup iff -G ... so instead
+    # use a small search for an on-curve point and assert the checker
+    # rejects it unless it is a multiple of G.
+    from ec_oracle import ec_mul_f
+
+    Fh = F2.host
+    # find an on-curve point by hashing x candidates: x = (i, 0)
+    p = F2.spec.modulus
+    found = None
+    for i in range(2, 40):
+        x = (i, 0)
+        rhs = Fh.add(Fh.mul(Fh.mul(x, x), x), (4, 4))
+        # host sqrt via p^2 exponent check
+        e = (p * p - 1) // 2
+        if Fh.pow(rhs, e) == Fh.one():
+            # get a root on device via quad_sqrt
+            from zkarray.ff.towers import quad_sqrt
+
+            arr = F2.from_ints([[rhs[0]], [rhs[1]]])
+            root, okr = quad_sqrt(F2, arr)
+            assert bool(np.asarray(okr)[0])
+            y = tuple(v[0] for v in F2.to_ints(root))
+            found = ((i, 0), y)
+            break
+    assert found is not None
+    pt = _g2_affine_from_host([found])
+    enc = zc.serialize_g2(pt, compress=True)
+    _, okv = zc.deserialize_g2(enc, compress=True, validate=True)
+    # overwhelmingly likely not in the r-subgroup (cofactor is ~2^125)
+    assert not okv.any()

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,13 +93,23 @@ def normalize(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
     dropped (callers guarantee it is zero).
     """
     k_in = cols.shape[0]
-    carry = jnp.zeros_like(cols[0])
-    outs = []
-    for k in range(out_limbs):
-        t = (cols[k] + carry) if k < k_in else carry
-        outs.append(t & LIMB_MASK)
-        carry = t >> LIMB_BITS
-    return jnp.stack(outs)
+    if k_in < out_limbs:
+        cols = jnp.concatenate(
+            [cols, jnp.zeros((out_limbs - k_in,) + cols.shape[1:], dtype=cols.dtype)]
+        )
+    elif k_in > out_limbs:
+        cols = cols[:out_limbs]
+
+    # The carry ripple is inherently serial over limbs; emitting it as a
+    # lax.scan keeps the graph at O(1) ops instead of O(L) — graph size (and
+    # with it XLA compile time of everything built on field muls) is this
+    # module's scarce resource, not runtime (the batch axes carry the width).
+    def body(carry, col):
+        t = col + carry
+        return t >> LIMB_BITS, t & LIMB_MASK
+
+    _, outs = jax.lax.scan(body, jnp.zeros_like(cols[0]), cols)
+    return outs
 
 
 def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -112,14 +123,13 @@ def sub_with_borrow(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.nd
 
     borrow == 1 where b > a (per batch element).
     """
-    n = a.shape[0]
-    borrow = jnp.zeros_like(a[0])
-    outs = []
-    for k in range(n):
-        t = a[k] - b[k] - borrow  # uint32 wraparound
-        outs.append(t & LIMB_MASK)
-        borrow = t >> 31  # 1 iff wrapped negative
-    return jnp.stack(outs), borrow
+    def body(borrow, ab):
+        ak, bk = ab
+        t = ak - bk - borrow  # uint32 wraparound
+        return t >> 31, t & LIMB_MASK  # borrow: 1 iff wrapped negative
+
+    borrow, outs = jax.lax.scan(body, jnp.zeros_like(a[0]), (a, b))
+    return outs, borrow
 
 
 def geq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -16,9 +16,11 @@ import numpy as np
 
 from zkarray.curves import bls12_381 as b381
 from zkarray.ec import sw as sw_mod
+from zkarray.ec import sw_ext
 from zkarray.ec.point_serde import _y_is_negative
 from zkarray.ec.sw import AffinePoints
 from zkarray.ff import fp
+from zkarray.ff.towers import quad_sqrt
 
 COMPRESSED_FLAG = 0x80
 INFINITY_FLAG = 0x40
@@ -116,4 +118,95 @@ def deserialize_g1(
         from zkarray.ec import fast_checks
 
         ok &= np.asarray(fast_checks.bls12_381_g1_subgroup_check(b381.G1, pts))
+    return pts, ok
+
+
+# ---------------------------------------------------------------------------
+# G2 (Fq2 coordinates): x = c1 BE ‖ c0 BE, 96 B compressed / 192 B
+# uncompressed; flags in the first byte of c1.
+# Reference: read_g2_compressed/read_g2_uncompressed and the G2 serializer
+# (curves/bls12_381/src/curves/util.rs:174-256, curves/g2.rs:142-160).
+# ---------------------------------------------------------------------------
+
+
+def _fq2_is_larger(y) -> np.ndarray:
+    """y > -y with arkworks' Fq2 ordering: c1-dominant lexicographic
+    (quadratic_extension.rs:444-453)."""
+    c0, c1 = y[0], y[1]
+    c1_gt = _y_is_negative(b381.FQ, c1)
+    c1_zero = np.asarray(fp.is_zero(b381.FQ, c1))
+    c0_gt = _y_is_negative(b381.FQ, c0)
+    return np.where(c1_zero, c0_gt, c1_gt)
+
+
+def serialize_g2(pts: sw_ext.ExtAffine, compress: bool = True) -> np.ndarray:
+    F2 = b381.FQ2
+    inf = np.asarray(pts.inf)
+    batch = pts.x.shape[2:]
+    xz = F2.select(pts.inf, F2.zero(batch), pts.x)
+    xb = np.concatenate([_fq_to_be(xz[1]), _fq_to_be(xz[0])], axis=1)  # c1‖c0
+    if compress:
+        out = xb.copy()
+        out[:, 0] |= COMPRESSED_FLAG
+        sort = _fq2_is_larger(pts.y) & ~inf
+        out[:, 0] |= np.where(sort, SORT_FLAG, 0).astype(np.uint8)
+        out[:, 0] |= np.where(inf, INFINITY_FLAG, 0).astype(np.uint8)
+        return out
+    yz = F2.select(pts.inf, F2.zero(batch), pts.y)
+    out = np.concatenate([xb, _fq_to_be(yz[1]), _fq_to_be(yz[0])], axis=1)
+    out[:, 0] |= np.where(inf, INFINITY_FLAG, 0).astype(np.uint8)
+    return out
+
+
+def _be_to_fq2(data: np.ndarray):
+    """(n, 96) BE bytes (c1‖c0) -> ((2, L, n) mont array, valid mask)."""
+    c1, ok1 = _be_to_fq(data[:, :48])
+    c0, ok0 = _be_to_fq(data[:, 48:96])
+    return jnp.stack([c0, c1]), ok0 & ok1
+
+
+def deserialize_g2(
+    data: np.ndarray, compress: bool = True, validate: bool = True
+) -> Tuple[sw_ext.ExtAffine, np.ndarray]:
+    F2 = b381.FQ2
+    curve = b381.G2
+    data = np.asarray(data, dtype=np.uint8)
+    if data.ndim == 1:
+        data = data[None]
+    data = data.copy()
+    n = data.shape[0]
+    flags = data[:, 0] & 0xE0
+    is_comp = (flags & COMPRESSED_FLAG) != 0
+    is_inf = (flags & INFINITY_FLAG) != 0
+    sort = (flags & SORT_FLAG) != 0
+    data[:, 0] &= 0x1F
+    ok = np.ones(n, dtype=bool)
+    if compress:
+        ok &= is_comp
+        x, ltp = _be_to_fq2(data[:, :96])
+        ok &= ltp
+        # y² = x³ + b, b = 4(u+1)
+        rhs = F2.add(
+            F2.mul(F2.sqr(x), x), F2.const(curve.b_host, (n,))
+        )
+        root, is_sq = quad_sqrt(F2, rhs)
+        larger_mask = _fq2_is_larger(root)
+        y_small = F2.select(jnp.asarray(larger_mask), F2.neg(root), root)
+        y = F2.select(jnp.asarray(sort), F2.neg(y_small), y_small)
+        pts = sw_ext.ExtAffine(x, y, jnp.asarray(is_inf))
+        ok &= np.asarray(is_sq) | is_inf
+        ok &= ~(is_inf & sort)
+    else:
+        ok &= ~is_comp
+        x, lx = _be_to_fq2(data[:, :96])
+        y, ly = _be_to_fq2(data[:, 96:192])
+        ok &= lx & ly
+        pts = sw_ext.ExtAffine(x, y, jnp.asarray(is_inf))
+        if validate:
+            ok &= np.asarray(sw_ext.is_on_curve(curve, pts)) | is_inf
+    if validate:
+        # ψ-endomorphism fast subgroup check (reference g2.rs:75-88)
+        from zkarray.ec import fast_checks
+
+        ok &= np.asarray(fast_checks.bls12_381_g2_subgroup_check(curve, pts))
     return pts, ok

@@ -28,11 +28,16 @@ def msm_sharded(
     mesh: Mesh,
     c: Optional[int] = None,
     axis: str = "shards",
+    max_scalar_bits: Optional[int] = None,
 ) -> XYZZPoints:
     """Σ scalars_i · points_i with the point axis sharded over ``mesh``.
 
     points/scalars may be host arrays; they are device_put with the point
     axis partitioned. Result: replicated single XYZZ point.
+
+    ``max_scalar_bits``: static bound on scalar bit length (see
+    ec/msm.py:msm) — shrinks the per-shard compiled window count, which
+    dominates compile time for small-scalar workloads.
     """
     n_dev = mesh.shape[axis]
     n = points.x.shape[1]
@@ -55,7 +60,9 @@ def msm_sharded(
         check_vma=False,
     )
     def _shard_msm(px, py, pinf, sc):
-        local = msm_mod.msm(curve, AffinePoints(px, py, pinf), sc, c)  # XYZZ ()
+        local = msm_mod.msm(
+            curve, AffinePoints(px, py, pinf), sc, c, max_scalar_bits
+        )  # XYZZ ()
         # gather per-device partials: (L,) -> (L, D) along a new axis
         parts = XYZZPoints(
             *(

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from zkarray.core.sort import bitonic_sort_kv
 from zkarray.ec import sw
 from zkarray.ec.sw import AffinePoints, SWCurveSpec, XYZZPoints
 from zkarray.ff import fp
@@ -195,7 +196,19 @@ def msm(
     digits = signed_digits(curve.scalar, scalars, c, W)  # (W, N) int32
     mag = jnp.abs(digits)
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (W, n))
-    keys, sidx = jax.lax.sort_key_val(mag, iota, dimension=1)
+    # Per-window sort by |digit| via the bitonic network (core/sort.py) —
+    # XLA's own sort op is a TPU compile-time bomb at MSM sizes. Pad to a
+    # power of two with sentinel keys (> any bucket id) that land past the
+    # real elements and are sliced off.
+    npad = 1 << (n - 1).bit_length()
+    if npad != n:
+        mag_p = jnp.pad(mag, ((0, 0), (0, npad - n)),
+                        constant_values=np.int32(half + 1))
+        iota_p = jnp.pad(iota, ((0, 0), (0, npad - n)))
+    else:
+        mag_p, iota_p = mag, iota
+    keys, sidx = bitonic_sort_kv(mag_p, iota_p)
+    keys, sidx = keys[:, :n], sidx[:, :n]
     ssign = jnp.take_along_axis(digits < 0, sidx, axis=1)  # (W, N) bool
 
     # bucket b (1..half) occupies sorted range [S[b-1], S[b]) where

@@ -112,30 +112,39 @@ def _cond_sub_p(spec: FieldSpec, r: jnp.ndarray) -> jnp.ndarray:
 
 
 def _mont_reduce_cols(spec: FieldSpec, cols: jnp.ndarray) -> jnp.ndarray:
-    """CIOS reduction over (2L+1, *batch) lazy columns (array-sliced form).
+    """CIOS reduction over (2L+1, *batch) lazy columns.
 
-    Graph size is O(L) whole-row vector ops (not O(L^2) scalar-row ops): each
-    iteration folds m_i·p into the column array with one padded add. The
-    serial carry of column i is tracked separately so no in-place row updates
-    are needed. Reference: montgomery_backend.rs:234-245.
+    Emitted as a fori_loop with an O(1)-op body: graph size per reduction is
+    ~20 HLO ops regardless of L. (Graph size — hence XLA compile time of
+    every curve/poly graph built from field muls — is the binding resource
+    here; the loop's serial trips mirror the carry recurrence, which is
+    serial in any formulation. Reference: montgomery_backend.rs:234-245.)
+
+    Each loop step: m = -t0/p mod 2^16, fold m·p into the bottom column,
+    shift the column window down one limb. Column magnitudes stay < 2^31:
+    inputs are lazy accumulators < 2^30 and each step adds < 2^18.
     """
     L = spec.num_limbs
     K = 2 * L + 1
     batch = cols.shape[1:]
     p_c = jnp.asarray(_np_const(spec, "p")).reshape((L,) + (1,) * len(batch))
     inv16 = np.uint32(spec.inv16)
-    carry = jnp.zeros(batch, dtype=jnp.uint32)
-    for i in range(L):
-        ci = cols[i] + carry
-        m = (ci * inv16) & LIMB_MASK
-        prod = m[None] * p_c  # (L, *batch)
-        lo = prod & LIMB_MASK
-        hi = prod >> LIMB_BITS
-        cols = cols + _pad_rows(lo[1:], i + 1, K) + _pad_rows(hi, i + 1, K)
-        carry = (ci + lo[0]) >> LIMB_BITS
-    r = cols[L:]
-    r = r.at[0].add(carry)
-    r = lb.normalize(r, L + 1)
+    zero_row = jnp.zeros((1,) + batch, dtype=jnp.uint32)
+
+    def body(_, t):
+        m = (t[0] * inv16) & LIMB_MASK
+        mp = m[None] * p_c  # (L, *batch)
+        lo = mp & LIMB_MASK
+        hi = mp >> LIMB_BITS
+        # aligned fold: lo at rows 0..L-1, hi at rows 1..L
+        upd = jnp.concatenate([lo[:1], lo[1:] + hi[:-1], hi[-1:]], axis=0)
+        t = t.at[: L + 1].add(upd)
+        carry = t[0] >> LIMB_BITS
+        t = jnp.concatenate([t[1:], zero_row], axis=0)
+        return t.at[0].add(carry)
+
+    t = jax.lax.fori_loop(0, L, body, cols, unroll=False)
+    r = lb.normalize(t[: L + 1], L + 1)
     return _cond_sub_p(spec, r)
 
 
@@ -149,6 +158,40 @@ def mont_reduce(spec: FieldSpec, cols: jnp.ndarray) -> jnp.ndarray:
     if cols.shape[0] < K:
         cols = _pad_rows(cols, 0, K)
     return _mont_reduce_cols(spec, cols)
+
+
+def _cios_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Interleaved CIOS Montgomery product a·b·R^{-1} mod p, as a lax.scan
+    over a's limbs with an O(1)-op body (~15 HLO ops total per mul — the
+    compile-time-friendly form; the Pallas kernel is the runtime-hot form).
+
+    Per step i: fold a_i·b and m_i·p into an (L+1)-column lazy window, then
+    shift down one limb. Columns stay < L·2^18 + 2^17 < 2^31.
+    Reference: MontConfig::mul_assign, montgomery_backend.rs:179-246.
+    """
+    L = spec.num_limbs
+    batch = a.shape[1:]
+    p_c = jnp.asarray(_np_const(spec, "p")).reshape((L,) + (1,) * len(batch))
+    inv16 = np.uint32(spec.inv16)
+    zero_row = jnp.zeros((1,) + batch, dtype=jnp.uint32)
+
+    def body(t, a_i):
+        ab = a_i[None] * b  # (L, *batch), each < 2^32 - 2^17 + 1
+        lo_ab = ab & LIMB_MASK
+        m = ((t[0] + lo_ab[0]) * inv16) & LIMB_MASK
+        mp = m[None] * p_c
+        lo = lo_ab + (mp & LIMB_MASK)  # < 2^17
+        hi = (ab >> LIMB_BITS) + (mp >> LIMB_BITS)
+        upd = jnp.concatenate([lo[:1], lo[1:] + hi[:-1], hi[-1:]], axis=0)
+        t = t + upd
+        carry = t[0] >> LIMB_BITS
+        t = jnp.concatenate([t[1:], zero_row], axis=0)
+        return t.at[0].add(carry), None
+
+    t0 = jnp.zeros((L + 1,) + batch, dtype=jnp.uint32)
+    t, _ = jax.lax.scan(body, t0, a)
+    r = lb.normalize(t, L + 1)
+    return _cond_sub_p(spec, r)
 
 
 def _product_cols(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -181,7 +224,7 @@ def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     b = jnp.broadcast_to(b.reshape(b.shape + (1,) * (len(batch) - b.ndim + 1)), (L,) + batch)
     if _k.use_pallas(batch):
         return _k.mont_mul(spec, a, b)
-    return _mont_reduce_cols(spec, _product_cols(spec, a, b))
+    return _cios_mul(spec, a, b)
 
 
 def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -195,20 +238,10 @@ def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     batch = a.shape[1:]
     if _k.use_pallas(batch):
         return _k.mont_sqr(spec, a)
-    K = 2 * L + 1
-    cols = jnp.zeros((K,) + batch, dtype=jnp.uint32)
-    for i in range(L - 1):
-        row = a[i][None] * a[i + 1 :]  # (L-1-i, *batch)
-        lo = (row & LIMB_MASK) << 1    # < 2^17: still fine in lazy columns
-        hi = (row >> LIMB_BITS) << 1
-        cols = cols + _pad_rows(lo, 2 * i + 1, K) + _pad_rows(hi, 2 * i + 2, K)
-    diag = a * a
-    # interleave diag lo/hi -> columns 0,1,2,...,2L-1
-    inter = jnp.stack([diag & LIMB_MASK, diag >> LIMB_BITS], axis=1).reshape(
-        (2 * L,) + batch
-    )
-    cols = cols + _pad_rows(inter, 0, K)
-    return _mont_reduce_cols(spec, cols)
+    # Compact-graph path: the plain CIOS scan. The symmetric doubled-
+    # off-diagonal trick saves ~25% runtime but costs an O(L^2)-op graph;
+    # the Pallas kernel (_sqr_body) keeps the trick for the TPU hot path.
+    return _cios_mul(spec, a, a)
 
 
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

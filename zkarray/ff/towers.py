@@ -366,3 +366,57 @@ class ExtOps:
     def from_ints(self, nested):
         """Nested lists (coeff-major) of canonical ints -> device array."""
         return self._stack([self.base.from_ints(c) for c in nested])
+
+
+def quad_sqrt(F2: "ExtOps", a):
+    """Batched square root in a quadratic extension Fp2 = Fp[u]/(u² − β)
+    over a PRIME base field. Returns ``(root, is_square mask)``; root is 0
+    where ``a`` is not a square.
+
+    Reference analog: Field::sqrt via SqrtPrecomputation is generic over the
+    extension (ff/src/fields/sqrt.rs:86-216) but runs the divergent
+    Tonelli–Shanks loop in Fp2 itself; here the classic norm trick reduces
+    to TWO prime-field sqrts (fixed structure, batch-friendly):
+    with n = a0² − β·a1² and d = √n, x0 = √((a0+d)/2) (or √((a0−d)/2) —
+    either consistent choice works) and x1 = a1/(2·x0). The returned root is
+    verified by squaring, so non-squares are reported exactly.
+    """
+    from zkarray.ff import fp as _fp
+
+    assert F2.deg == 2 and isinstance(F2.base, PrimeOps)
+    spec = F2.spec
+    p = spec.modulus
+    beta = F2.nonresidue_host
+    a0, a1 = a[0], a[1]
+    batch = a0.shape[1:]
+
+    n = _fp.sub(
+        spec,
+        _fp.mont_sqr(spec, a0),
+        _fp.mont_mul(
+            spec, _fp.mont_sqr(spec, a1), _fp.const_array(spec, beta % p, ())
+        ),
+    )
+    d, _ = _fp.sqrt(spec, n)
+    half = _fp.const_array(spec, pow(2, -1, p), ())
+    t1 = _fp.mont_mul(spec, _fp.add(spec, a0, d), half)
+    r1, ok1 = _fp.sqrt(spec, t1)
+    t2 = _fp.mont_mul(spec, _fp.sub(spec, a0, d), half)
+    r2, _ok2 = _fp.sqrt(spec, t2)
+    x0 = _fp.select(ok1, r1, r2)
+    x1 = _fp.mont_mul(spec, a1, _fp.inv(spec, _fp.double(spec, x0)))
+
+    # a1 == 0: a = a0 ∈ Fp — root is (√a0, 0), or (0, √(a0/β)) since
+    # (x1·u)² = β·x1².
+    ra, a0_sq = _fp.sqrt(spec, a0)
+    rb, _ = _fp.sqrt(
+        spec, _fp.mont_mul(spec, a0, _fp.const_array(spec, pow(beta % p, -1, p), ()))
+    )
+    a1z = _fp.is_zero(spec, a1)
+    z = _fp.zero(spec, batch)
+    c0 = _fp.select(a1z, _fp.select(a0_sq, ra, z), x0)
+    c1 = _fp.select(a1z, _fp.select(a0_sq, z, rb), x1)
+    cand = jnp.stack([c0, c1])
+
+    ok = F2.eq(F2.sqr(cand), a)
+    return F2.select(ok, cand, F2.zero(batch)), ok

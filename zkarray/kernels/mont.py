@@ -44,11 +44,17 @@ def pallas_enabled() -> bool:
     return os.environ.get("ZKARRAY_PALLAS", "1") != "0"
 
 
-@functools.lru_cache(maxsize=None)
 def interpret_mode() -> bool:
-    """ZKARRAY_PALLAS_INTERPRET=1 runs kernels in the Pallas interpreter
-    (CPU test coverage of the exact kernel bodies)."""
-    return os.environ.get("ZKARRAY_PALLAS_INTERPRET", "0") == "1"
+    """True when pallas_call must run in the Pallas interpreter: explicit
+    ZKARRAY_PALLAS_INTERPRET=1, or any non-TPU backend (CPU supports
+    interpret mode only) — so direct kernel calls are testable on the CPU
+    suite without env plumbing."""
+    if os.environ.get("ZKARRAY_PALLAS_INTERPRET", "0") == "1":
+        return True
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:
+        return True
 
 
 def use_pallas(batch_shape, min_batch: int = 1024) -> bool:
@@ -62,8 +68,8 @@ def use_pallas(batch_shape, min_batch: int = 1024) -> bool:
         n *= int(d)
     if n < min_batch or not pallas_enabled():
         return False
-    if interpret_mode():
-        return True
+    if os.environ.get("ZKARRAY_PALLAS_INTERPRET", "0") == "1":
+        return True  # explicit opt-in: cover kernel bodies on CPU
     try:
         return jax.default_backend() == "tpu"
     except Exception:
