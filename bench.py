@@ -95,21 +95,25 @@ def bench_msm(log_n: int, curve_name: str = "bls12_381", iters: int = 3):
     py = np.tile(np.asarray(A0.y), (1, reps))
     pinf = np.zeros(n, dtype=bool)
 
-    # random full-width scalars below the modulus (top limb trimmed)
+    # random 254-bit scalars (top limb masked to 14 bits, so < 2^254 < r);
+    # the static bit bound is passed to msm as max_scalar_bits — the
+    # reference's magnitude-class dispatch (variable_base/mod.rs:242-347) —
+    # so the tail-window sub-bucket split is sized to the real distribution.
     Ls = curve.scalar.num_limbs
     sc = rng.integers(0, 1 << 16, size=(Ls, n), dtype=np.uint32)
     sc[-1] >>= 2
+    bits = 16 * Ls - 2
 
     A = AffinePoints(jnp.asarray(px), jnp.asarray(py), jnp.asarray(pinf))
     s = jnp.asarray(sc)
 
     _log(f"msm 2^{log_n}: inputs ready, compiling + first run...")
-    out = msm_mod.msm(curve, A, s)
+    out = msm_mod.msm(curve, A, s, None, bits)
     _sync(out.zz)
     _log(f"msm 2^{log_n}: first run done, timing {iters} iters")
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = msm_mod.msm(curve, A, s)
+        out = msm_mod.msm(curve, A, s, None, bits)
     _sync(out.zz)
     dt = (time.perf_counter() - t0) / iters
     return {"pts_per_s": n / dt, "dt": dt, "log_n": log_n,
@@ -281,21 +285,19 @@ def main():
     if not ntt:
         ntt = attempt("ntt", 16, cap=300)
 
-    # 4. bigger XLA MSM
-    bank_msm(attempt("msm", args.msm_log_n, cap=480, env=xla))
-
-    # 5. risky Pallas-kernel path LAST (a kernel fault can wedge the tunnel)
-    if msm_best is not None and remaining() > 240:
+    # 4. Pallas-kernel path, larger sizes (measured r3: 142k pts/s at 2^18,
+    #    155k at 2^20). Run AFTER the safe bank: a kernel fault can wedge
+    #    the tunnel for ~30 min.
+    if remaining() > 240:
         r = attempt("msm", args.msm_log_n, cap=420)
         if r:
             bank_msm(r)
-            # 6. scale up on the winning path while budget remains
             if remaining() > 300:
-                env = None if r is msm_best[1] else xla
-                bank_msm(attempt("msm", args.msm_log_n + 2, cap=420, env=env))
+                bank_msm(attempt("msm", args.msm_log_n + 2, cap=420))
         else:
             _log("pallas attempt failed; re-probing tunnel")
             attempt("probe", 0, cap=240, floor=60)
+            bank_msm(attempt("msm", args.msm_log_n, cap=420, env=xla))
 
     # 7. roofline
     roof = attempt("roofline", 20, cap=300)

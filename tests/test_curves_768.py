@@ -178,3 +178,69 @@ def test_cp6_782_pairing_bilinear():
     e1 = gts[..., 1:2]
     assert np.asarray(F6.eq(e2, F6.sqr(e1))).all()
     assert not np.asarray(F6.eq(e1, F6.one((1,)))).all()
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not __import__("os").environ.get("ZKARRAY_RUN_SLOW"), reason="set ZKARRAY_RUN_SLOW=1")
+def test_mnt6_753_pairing_bilinear():
+    """e(2G, H) == e(G, 2H) on MNT6-753 (reference test_pairing! semantics,
+    test-templates/src/pairing.rs:2-67) — first actual Miller-loop exercise
+    of the 753-bit MNT6 engine parameters."""
+    from zkarray.ec.pairing import mnt as mnt_mod
+    from zkarray.ec import sw, sw_ext
+    import jax.numpy as jnp
+
+    b = mnt6_753
+    F6 = b.FQ6
+    G = b.G1.generator((1,))
+    G1j = sw.from_affine(b.G1, G)
+    G_dbl = sw.to_affine(b.G1, sw.jac_double(b.G1, G1j))
+    H = b.G2.generator((1,))
+    H2 = sw_ext.to_affine(
+        b.G2, sw_ext.double(b.G2, sw_ext.from_affine(b.G2, H))
+    )
+    P = sw.AffinePoints(
+        jnp.concatenate([G_dbl.x, G.x], axis=1),
+        jnp.concatenate([G_dbl.y, G.y], axis=1),
+        jnp.concatenate([G_dbl.inf, G.inf]),
+    )
+    Q = sw_ext.ExtAffine(
+        jnp.concatenate([H.x, H2.x], axis=-1),
+        jnp.concatenate([H.y, H2.y], axis=-1),
+        jnp.concatenate([H.inf, H2.inf]),
+    )
+    gts = mnt_mod.pairing_each(b.PAIRING, P, Q)
+    assert np.asarray(F6.eq(gts[..., 0:1], gts[..., 1:2])).all()
+    # non-degeneracy: e(G, H) != 1
+    one = F6.one((1,))
+    assert not np.asarray(F6.eq(gts[..., 0:1], one)).all()
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not __import__("os").environ.get("ZKARRAY_RUN_SLOW"), reason="set ZKARRAY_RUN_SLOW=1")
+def test_bw6_767_pairing_bilinear():
+    """e(2G, H) == e(G, 2H) on BW6-767 (G2 over the base prime field)."""
+    from zkarray.ec.pairing import bw6 as bw6_mod
+    from zkarray.ec import sw
+    import jax.numpy as jnp
+
+    b = bw6_767
+    F6 = b.FQ6
+    G = b.G1.generator((1,))
+    G_dbl = sw.to_affine(b.G1, sw.jac_double(b.G1, sw.from_affine(b.G1, G)))
+    H = b.G2.generator((1,))
+    H2 = sw.to_affine(b.G2, sw.jac_double(b.G2, sw.from_affine(b.G2, H)))
+    P = sw.AffinePoints(
+        jnp.concatenate([G_dbl.x, G.x], axis=1),
+        jnp.concatenate([G_dbl.y, G.y], axis=1),
+        jnp.concatenate([G_dbl.inf, G.inf]),
+    )
+    Q = sw.AffinePoints(
+        jnp.concatenate([H.x, H2.x], axis=1),
+        jnp.concatenate([H.y, H2.y], axis=1),
+        jnp.concatenate([H.inf, H2.inf]),
+    )
+    gts = bw6_mod.pairing_each(b.PAIRING, P, Q)
+    assert np.asarray(F6.eq(gts[..., 0:1], gts[..., 1:2])).all()
+    one = F6.one((1,))
+    assert not np.asarray(F6.eq(gts[..., 0:1], one)).all()

@@ -38,14 +38,15 @@ def elligator2_map(spec: TECurveSpec, u: jnp.ndarray, zeta: int) -> TEAffine:
     den_safe = fp.select(den_zero, one, den)
     x1 = fp.neg(f, fp.mont_mul(f, A, fp.batch_inv(f, den_safe)))
 
+    # Montgomery form here is B·y'² = x'³ + A·x'² + x' (the convention the
+    # birational constants a=(A+2)/B, d=(A−2)/B assume, matching ark's
+    # MontCurveConfig), so y'² = (x'³ + A·x'² + x')/B.
+    Binv = fp.const_array(f, pow(spec.mont_coeff_b % f.modulus, -1, f.modulus), ())
+
     def g(x):
-        # x³ + A x² + B x
         x2 = fp.mont_sqr(f, x)
-        return fp.add(
-            f,
-            fp.add(f, fp.mont_mul(f, x2, x), fp.mont_mul(f, A, x2)),
-            fp.mont_mul(f, B, x),
-        )
+        num = fp.add(f, fp.add(f, fp.mont_mul(f, x2, x), fp.mont_mul(f, A, x2)), x)
+        return fp.mont_mul(f, num, Binv)
 
     gx1 = g(x1)
     x2 = fp.sub(f, fp.neg(f, x1), A)

@@ -35,6 +35,7 @@ def swu_map(curve: SWCurveSpec, u: jnp.ndarray, zeta: int) -> AffinePoints:
     neg_b_over_a = fp.mont_mul(f, fp.neg(f, b), fp.inv(f, a))
     x1 = fp.mont_mul(f, neg_b_over_a, fp.add(f, fp.one(f, batch), tv1))
     x1_exc = fp.mont_mul(f, b, fp.inv(f, fp.mont_mul(f, z, a)))
+    x1_exc = x1_exc.reshape((x1_exc.shape[0],) + (1,) * len(batch))
     x1 = fp.select(den_zero, jnp.broadcast_to(x1_exc, x1.shape), x1)
 
     def g(x):

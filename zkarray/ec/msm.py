@@ -105,13 +105,19 @@ def _searchsorted_batch(keys: jnp.ndarray, n_vals: int) -> jnp.ndarray:
     return hi  # == lo
 
 
-def _weighted_bucket_sum(curve: SWCurveSpec, bk: XYZZPoints, s: int) -> XYZZPoints:
+def _weighted_bucket_sum(
+    curve: SWCurveSpec, bk: XYZZPoints, s: int, restart_weights: bool = False
+) -> XYZZPoints:
     """Σ_{j=0..B-1} (j+1)·bk[..., j] per window, bk coords (L, W, B).
 
     Two-level chunked suffix sums: within chunks of size s (vectorized across
     all W·(B/s) chunks) and then across chunks — 2·(B + B/s) point adds total,
     ~2 sequential adds per step. Reference computes the same quantity with a
     serial running suffix (variable_base/mod.rs:477-484).
+
+    ``restart_weights``: weights restart at 1 at each chunk boundary
+    (weight of slot j = (j mod s) + 1) instead of running 1..B — used for
+    the sub-bucket-split top window, where slot d + s·k holds bucket d.
     """
     L, W, B = bk.x.shape
     assert B % s == 0
@@ -153,6 +159,9 @@ def _weighted_bucket_sum(curve: SWCurveSpec, bk: XYZZPoints, s: int) -> XYZZPoin
     # A_c is counted c times: after all steps acc2 = Σ_c c·A_c.
     _, acc2, tot = jax.lax.fori_loop(0, C, body2, (zero_w, zero_w, zero_w))
 
+    if restart_weights:
+        return tot  # Σ_c T_c: per-chunk weights only
+
     # total = Σ_c T_c + s·(Σ_c c·A_c)
     def dbl_n(v, k):
         return jax.lax.fori_loop(0, k, lambda _, t: sw.xyzz_double(curve, t), v)
@@ -191,24 +200,44 @@ def msm(
     scalar_bits = curve.scalar.bits
     if max_scalar_bits is not None:
         scalar_bits = min(scalar_bits, max_scalar_bits)
-    W = scalar_bits // c + 1 + (1 if scalar_bits % c else 0)
+    # Smallest window count whose top window cannot produce a recentering
+    # carry-out: needs scalar_bits - c·(W-1) <= c - 2 so the top coefficient
+    # (raw bits + carry-in) stays below 2^(c-1) and signed_digits' final
+    # carry is provably zero.
+    W = (scalar_bits + c + 1) // c
 
     digits = signed_digits(curve.scalar, scalars, c, W)  # (W, N) int32
     mag = jnp.abs(digits)
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (W, n))
-    # Per-window sort by |digit| via the bitonic network (core/sort.py) —
-    # XLA's own sort op is a TPU compile-time bomb at MSM sizes. Pad to a
-    # power of two with sentinel keys (> any bucket id) that land past the
-    # real elements and are sliced off.
-    npad = 1 << (n - 1).bit_length()
-    if npad != n:
-        mag_p = jnp.pad(mag, ((0, 0), (0, npad - n)),
-                        constant_values=np.int32(half + 1))
-        iota_p = jnp.pad(iota, ((0, 0), (0, npad - n)))
-    else:
-        mag_p, iota_p = mag, iota
-    keys, sidx = bitonic_sort_kv(mag_p, iota_p)
-    keys, sidx = keys[:, :n], sidx[:, :n]
+
+    # Tail-window sub-bucket split. Windows past the scalar width span only
+    # rem_w = scalar_bits - c·w leftover bits, so their |digit| takes just
+    # v_w = 2^rem_w + 1 values; with uniform scalars those buckets hold
+    # ~half/v_w times more points than a full window's, and since the round
+    # loop runs to the GLOBAL max occupancy this skew multiplies the whole
+    # MSM's round count (measured 28x at 2^18/c=10, where the 255-bit
+    # scalar leaves window 25 with 5 bits). Spreading each narrow digit
+    # over K_w = half // v_w slots (slot = d + v_w·(i mod K_w)) rebalances;
+    # the reduction below sums split windows with per-chunk restarting
+    # weights. Split windows are always a suffix of the window range.
+    splits = []  # [(w, v_w, K_w)] for windows that get sub-bucketed
+    for w in range(W):
+        rem_w = max(0, min(c, scalar_bits - c * w))
+        v_w = (1 << rem_w) + 1
+        K_w = max(1, half // v_w)
+        if K_w >= 2:
+            splits.append((w, v_w, K_w))
+    for w, v_w, K_w in splits:
+        row = mag[w]
+        sub = (iota[0] % K_w) * v_w
+        mag = mag.at[w].set(jnp.where(row > 0, row + sub, 0))
+    W_main = splits[0][0] if splits else W  # split windows are a suffix
+
+    # Per-window sort by |digit| (sub-bucket slot id for the top window).
+    # XLA's sort op measures fine on TPU at MSM sizes (12 s compile / 20 ms
+    # run at (26, 2^18)); core/sort.py's bitonic network is the
+    # compile-bounded fallback for shapes where it isn't.
+    keys, sidx = jax.lax.sort_key_val(mag, iota, dimension=1)
     ssign = jnp.take_along_axis(digits < 0, sidx, axis=1)  # (W, N) bool
 
     # bucket b (1..half) occupies sorted range [S[b-1], S[b]) where
@@ -220,6 +249,26 @@ def msm(
     state0 = sw.xyzz_zero(curve, (W, half))
     px, py, pinf = points.x, points.y, points.inf
 
+    # The round loop is gather-latency-bound (measured 2^22/c=14: ~15 ms of
+    # a 20 ms round in index lookups + coordinate gathers vs 5.5 ms in the
+    # fused add kernel). Two packing tricks halve the gather count:
+    # * sign and infinity ride in the top bits of the sorted index array,
+    #   so ONE take_along_axis per round replaces three;
+    # * x and y are stacked into one (2L, N) array, so ONE coordinate
+    #   gather per round replaces two.
+    assert n < (1 << 29)
+    packed = (
+        sidx
+        | (ssign.astype(jnp.int32) << 30)
+        | (pinf[sidx].astype(jnp.int32) << 29)
+    )  # (W, N)
+    # Coordinate store for the round gathers: x‖y with limb PAIRS packed
+    # into full uint32 words (planar limbs only occupy 16 of 32 bits) —
+    # halves the gathered bytes per round. Unpacked right after the gather.
+    assert L % 2 == 0
+    pxy = jnp.concatenate([px, py], axis=0)  # (2L, N)
+    pxy = pxy[0::2] | (pxy[1::2] << 16)  # (L, N): row k = limbs 2k | 2k+1
+
     def cond(carry):
         return carry[0] < rounds
 
@@ -228,12 +277,14 @@ def msm(
         pos = S[:, :-1] + r  # (W, half)
         valid = pos < S[:, 1:]
         posc = jnp.where(valid, pos, 0)
-        idx = jnp.take_along_axis(sidx, posc, axis=1)  # (W, half)
-        sg = jnp.take_along_axis(ssign, posc, axis=1)
-        gx = px[:, idx]  # (L, W, half)
-        gy = py[:, idx]
-        ginf = pinf[idx] | ~valid
-        gy = fp.select(sg, fp.neg(f, gy), gy)
+        pk = jnp.take_along_axis(packed, posc, axis=1)  # (W, half)
+        idx = pk & ((1 << 29) - 1)
+        sg = (pk >> 30) & 1
+        g = pxy[:, idx]  # (L, W, half) packed limb pairs
+        g = jnp.stack([g & 0xFFFF, g >> 16], axis=1).reshape(2 * L, W, half)
+        gx, gy = g[:L], g[L:]
+        ginf = ((pk >> 29) & 1).astype(bool) | ~valid
+        gy = fp.select(sg.astype(bool), fp.neg(f, gy), gy)
         state = sw.xyzz_add_affine(curve, state, AffinePoints(gx, gy, ginf))
         return r + jnp.int32(1), state
 
@@ -243,7 +294,47 @@ def msm(
     s_chunk = 1 << (int(math.log2(half)) // 2) if half >= 4 else 1
     if half % s_chunk or s_chunk == 1:
         s_chunk = half  # tiny windows: single chunk
-    win = _weighted_bucket_sum(curve, state, s_chunk)  # coords (L, W)
+
+    def _fold_pairs(parts, k):
+        """Tree-add k pseudo-window partials (coords (L, k)) into one."""
+        while k > 1:
+            h = k // 2
+            lo_p = XYZZPoints(*(v[:, :h] for v in parts))
+            hi_p = XYZZPoints(*(v[:, h : 2 * h] for v in parts))
+            red = sw.xyzz_add(curve, lo_p, hi_p)
+            if k % 2:
+                red = XYZZPoints(
+                    *(
+                        jnp.concatenate([a, v[:, 2 * h :]], axis=1)
+                        for a, v in zip(red, parts)
+                    )
+                )
+                k = h + 1
+            else:
+                k = h
+            parts = red
+        return parts
+
+    if splits:
+        cols = []
+        if W_main:
+            low = XYZZPoints(*(v[:, :W_main] for v in state))
+            cols.append(_weighted_bucket_sum(curve, low, s_chunk))  # (L, W_main)
+        for w, v_w, K_w in splits:
+            # window w: slot d + v_w·k holds bucket d; reshape the used
+            # prefix into K_w pseudo-windows of v_w slots, weight each with
+            # restarting 1..v_w, then fold the K_w partials together.
+            st_w = XYZZPoints(
+                *(v[:, w, : K_w * v_w].reshape(L, K_w, v_w) for v in state)
+            )
+            parts = _weighted_bucket_sum(curve, st_w, v_w, restart_weights=True)
+            folded = _fold_pairs(parts, K_w)
+            cols.append(XYZZPoints(*(v[:, :1] for v in folded)))
+        win = XYZZPoints(
+            *(jnp.concatenate(vs, axis=1) for vs in zip(*cols))
+        )
+    else:
+        win = _weighted_bucket_sum(curve, state, s_chunk)  # coords (L, W)
 
     # Horner over windows, high→low: total = (total · 2^c) + win_w
     def outer(w, tot):

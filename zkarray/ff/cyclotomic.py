@@ -47,7 +47,7 @@ def gs_cyclotomic_sqr(fq12, f):
     def fp4_ops(a, b):
         return [(a, b), (B.add(a, b), B.add(nr(b), a))]
 
-    m01, s01, m23, s23, m45, s45 = B._mul_many(
+    m01, s01, m23, s23, m45, s45 = fq6._mul_many(
         fp4_ops(r0, r1) + fp4_ops(r2, r3) + fp4_ops(r4, r5)
     )
 

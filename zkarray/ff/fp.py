@@ -217,12 +217,8 @@ def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     from zkarray import kernels as _k
 
-    L = spec.num_limbs
-    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    # leading limb axis: pad trailing batch dims before broadcasting
-    a = jnp.broadcast_to(a.reshape(a.shape + (1,) * (len(batch) - a.ndim + 1)), (L,) + batch)
-    b = jnp.broadcast_to(b.reshape(b.shape + (1,) * (len(batch) - b.ndim + 1)), (L,) + batch)
-    if _k.use_pallas(batch):
+    a, b = _align2(spec.num_limbs, a, b)
+    if _k.use_pallas(a.shape[1:]):
         return _k.mont_mul(spec, a, b)
     return _cios_mul(spec, a, b)
 
@@ -244,8 +240,23 @@ def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return _cios_mul(spec, a, a)
 
 
+def _align2(L: int, a: jnp.ndarray, b: jnp.ndarray):
+    """Broadcast two (L, *batch) arrays to a common batch shape, treating
+    the leading limb axis as fixed and padding TRAILING batch dims (the
+    numpy default would misalign the limb axis)."""
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(
+        a.reshape(a.shape + (1,) * (len(batch) - (a.ndim - 1))), (L,) + batch
+    )
+    b = jnp.broadcast_to(
+        b.reshape(b.shape + (1,) * (len(batch) - (b.ndim - 1))), (L,) + batch
+    )
+    return a, b
+
+
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a + b) mod p."""
+    a, b = _align2(spec.num_limbs, a, b)
     s = lb.normalize(a + b, spec.num_limbs + 1)
     return _cond_sub_p(spec, s)
 
@@ -256,6 +267,7 @@ def double(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 
 def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a - b) mod p."""
+    a, b = _align2(spec.num_limbs, a, b)
     d, borrow = lb.sub_with_borrow(a, b)
     p_c = _bc(_np_const(spec, "p"), d.shape[1:])
     d_fix = lb.normalize(d + p_c, spec.num_limbs)
@@ -331,6 +343,12 @@ def pow_u32(spec: FieldSpec, a: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
     """a^e for a traced uint32 exponent (scalar or batch-shaped), via a fixed
     32-step square-and-multiply fori_loop."""
     e = jnp.asarray(e, dtype=jnp.uint32)
+    L = spec.num_limbs
+    batch = jnp.broadcast_shapes(a.shape[1:], e.shape)
+    a = jnp.broadcast_to(
+        a.reshape(a.shape + (1,) * (len(batch) - (a.ndim - 1))), (L,) + batch
+    )
+    e = jnp.broadcast_to(e.reshape(e.shape + (1,) * (len(batch) - e.ndim)), batch)
 
     def body(i, carry):
         res, base = carry
@@ -338,7 +356,7 @@ def pow_u32(spec: FieldSpec, a: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
         res = select(bit == 1, mont_mul(spec, res, base), res)
         return res, mont_sqr(spec, base)
 
-    res, _ = jax.lax.fori_loop(0, 32, body, (one(spec, a.shape[1:]), a))
+    res, _ = jax.lax.fori_loop(0, 32, body, (one(spec, batch), a))
     return res
 
 

@@ -19,14 +19,14 @@ import jax.numpy as jnp
 def fp6_mul_by_1(fq6, a, c1):
     """a · (0, c1, 0) — 3 base muls."""
     B = fq6.base
-    p2, p0, p1 = B._mul_many([(a[2], c1), (a[0], c1), (a[1], c1)])
+    p2, p0, p1 = fq6._mul_many([(a[2], c1), (a[0], c1), (a[1], c1)])
     return fq6._stack([fq6.mul_nonresidue(p2), p0, p1])
 
 
 def fp6_mul_by_01(fq6, a, c0, c1):
     """a · (c0, c1, 0) — 5 base muls (reference fp6_3over2.rs mul_by_01)."""
     B = fq6.base
-    v0, v1, m12, m01, m02 = B._mul_many(
+    v0, v1, m12, m01, m02 = fq6._mul_many(
         [
             (a[0], c0),
             (a[1], c1),
@@ -44,7 +44,7 @@ def fp6_mul_by_01(fq6, a, c0, c1):
 def fp6_mul_by_fp2(fq6, a, c0):
     """a · (c0, 0, 0) — 3 base muls."""
     B = fq6.base
-    ps = B._mul_many([(a[j], c0) for j in range(3)])
+    ps = fq6._mul_many([(a[j], c0) for j in range(3)])
     return fq6._stack(list(ps))
 
 

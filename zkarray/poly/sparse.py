@@ -36,7 +36,7 @@ def uv_evaluate(spec: FieldSpec, degrees, coeffs, tau: jnp.ndarray) -> jnp.ndarr
     m = tau.shape[1]
     k = coeffs.shape[1]
     # τ^{d_i} for all (term, point): (L, k, m)
-    powers = fp.pow_u32(spec, tau[:, None, :], degrees[None, :, None])
+    powers = fp.pow_u32(spec, tau[:, None, :], degrees[:, None])
     prods = fp.mont_mul(spec, coeffs[:, :, None], powers)
     return fp.tree_sum(spec, prods, axis=0)
 
