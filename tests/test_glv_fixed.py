@@ -73,3 +73,54 @@ def test_glv_parameter_sets_algebraic():
             k1, k2 = g.decompose(k % r)
             assert (k1 + lam * k2 - (k % r)) % r == 0, g.curve.name
             assert max(abs(k1), abs(k2)) < 1 << ((r.bit_length() // 2) + 3), g.curve.name
+
+
+def test_g2_glv_mul_vs_ladder():
+    """G2 GLV (ext-field endomorphism) vs plain scalar mul — reference
+    implements GLVConfig for G2 as well (curves/bls12_381/src/curves/
+    g2.rs:193-222)."""
+    import numpy as np
+    from zkarray.curves import bls12_381 as b381
+    from zkarray.ec import glv as glv_mod
+    from zkarray.ec import sw_ext
+
+    g = glv_mod.bls12_381_g2_glv()
+    F2 = b381.FQ2
+    H = b381.G2.generator((1,))
+    ks = [1, 2, 12345, b381.G2.scalar.modulus - 3]
+    import jax.numpy as jnp
+
+    A = sw_ext.ExtAffine(
+        jnp.concatenate([H.x] * len(ks), axis=-1),
+        jnp.concatenate([H.y] * len(ks), axis=-1),
+        jnp.concatenate([H.inf] * len(ks)),
+    )
+    got = sw_ext.to_affine(b381.G2, glv_mod.glv_mul_ext(g, A, ks))
+    gx, gy = F2.to_ints(got.x), F2.to_ints(got.y)
+    for i, k in enumerate(ks):
+        want = sw_ext.to_affine(
+            b381.G2,
+            sw_ext.scalar_mul_const(b381.G2, sw_ext.from_affine(b381.G2, H), k),
+        )
+        wx, wy = F2.to_ints(want.x), F2.to_ints(want.y)
+        assert (gx[0][i], gx[1][i]) == (wx[0][0], wx[1][0]), k
+        assert (gy[0][i], gy[1][i]) == (wy[0][0], wy[1][0]), k
+
+
+def test_g2_glv_endo_eigenvalue():
+    """φ(H) == λ·H on G2 (the defining GLV property)."""
+    from zkarray.curves import bls12_381 as b381
+    from zkarray.ec import glv as glv_mod
+    from zkarray.ec import sw_ext
+    import numpy as np
+
+    g = glv_mod.bls12_381_g2_glv()
+    F2 = b381.FQ2
+    H = b381.G2.generator((1,))
+    phiH = glv_mod.endomorphism_ext(g, H)
+    lamH = sw_ext.to_affine(
+        b381.G2,
+        sw_ext.scalar_mul_const(b381.G2, sw_ext.from_affine(b381.G2, H), g.lam),
+    )
+    assert F2.to_ints(phiH.x) == F2.to_ints(lamH.x)
+    assert F2.to_ints(phiH.y) == F2.to_ints(lamH.y)

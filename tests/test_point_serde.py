@@ -212,3 +212,75 @@ def test_zcash_g2_infinity_and_subgroup():
     _, okv = zc.deserialize_g2(enc, compress=True, validate=True)
     # overwhelmingly likely not in the r-subgroup (cofactor is ~2^125)
     assert not okv.any()
+
+
+# ---------------------------------------------------------------------------
+# arkworks-default canonical format for extension-field SW points
+# (ec/src/models/short_weierstrass/mod.rs:125-193 + quadratic_extension.rs
+#  serialize_with_flags: c0 plain LE ++ c1 with SWFlags in the top bits)
+# ---------------------------------------------------------------------------
+
+def _host_serialize_g2(pts, nb=48):
+    """Oracle: arkworks-canonical compressed bytes built with Python ints."""
+    out = []
+    for p in pts:
+        if p is None:
+            buf = bytearray(2 * nb)
+            buf[-1] |= 0x40
+            out.append(bytes(buf))
+            continue
+        (x0, x1), (y0, y1) = p
+        q = b381.FQ.modulus
+        neg = (y1 > q - y1) if y1 != 0 else (y0 > q - y0)
+        buf = x0.to_bytes(nb, "little") + x1.to_bytes(nb, "little")
+        buf = bytearray(buf)
+        if neg:
+            buf[-1] |= 0x80
+        out.append(bytes(buf))
+    return np.frombuffer(b"".join(out), dtype=np.uint8).reshape(len(pts), 2 * nb)
+
+
+def test_canonical_ext_point_serde_g2():
+    import zkarray.ec.point_serde as ps2
+
+    pts = _first_k_g2_multiples(8)
+    A = _g2_affine_from_host(pts)
+    got = ps2.serialize_sw_ext(b381.G2, A, compress=True)
+    want = _host_serialize_g2(pts)
+    assert np.array_equal(got, want)
+    back, ok = ps2.deserialize_sw_ext(b381.G2, got, compress=True, validate=True)
+    assert ok.all()
+    assert np.asarray(back.inf).tolist() == [p is None for p in pts]
+    F2 = b381.FQ2
+    gx, gy = F2.to_ints(back.x), F2.to_ints(back.y)
+    for i, p in enumerate(pts):
+        if p is None:
+            continue
+        assert (gx[0][i], gx[1][i]) == p[0] and (gy[0][i], gy[1][i]) == p[1]
+    # uncompressed round-trip
+    raw = ps2.serialize_sw_ext(b381.G2, A, compress=False)
+    back2, ok2 = ps2.deserialize_sw_ext(b381.G2, raw, compress=False, validate=True)
+    assert ok2.all()
+    assert F2.to_ints(back2.x) == gx and F2.to_ints(back2.y) == gy
+
+
+def test_canonical_ext_point_serde_fq3_uncompressed():
+    """MNT6-298 G2 (cubic extension) uncompressed round-trip."""
+    import zkarray.ec.point_serde as ps2
+    from zkarray.curves import mnt6_298 as m6
+    from zkarray.ec import sw_ext
+    import jax.numpy as jnp
+
+    F3 = m6.G2.ops
+    H = m6.G2.generator((1,))
+    H2 = sw_ext.to_affine(m6.G2, sw_ext.double(m6.G2, sw_ext.from_affine(m6.G2, H)))
+    A = sw_ext.ExtAffine(
+        jnp.concatenate([H.x, H2.x], axis=-1),
+        jnp.concatenate([H.y, H2.y], axis=-1),
+        jnp.concatenate([H.inf, H2.inf]),
+    )
+    raw = ps2.serialize_sw_ext(m6.G2, A, compress=False)
+    back, ok = ps2.deserialize_sw_ext(m6.G2, raw, compress=False, validate=True)
+    assert ok.all()
+    assert F3.to_ints(back.x) == F3.to_ints(A.x)
+    assert F3.to_ints(back.y) == F3.to_ints(A.y)

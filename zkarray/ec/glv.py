@@ -231,3 +231,142 @@ def vesta_glv():
             (False, 98231058071100081932162823354453065729),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# extension-field (G2) GLV — reference implements GLVConfig for G2 too
+# (curves/bls12_381/src/curves/g2.rs:193-222, bls12_377/g2.rs, bn254/g2.rs)
+# ---------------------------------------------------------------------------
+
+class GLVSpecExt:
+    """GLV for an ExtCurveSpec (SW curve over Fq2/Fq3): the endomorphism is
+    x ↦ ENDO·x with ENDO a host extension-field constant."""
+
+    def __init__(self, curve, endo_host, lam: int, decomp):
+        self.curve = curve
+        self.endo_host = endo_host
+        self.lam = lam
+        self.decomp = [
+            (s if isinstance(s, bool) else s >= 0, abs(v)) for s, v in decomp
+        ]
+
+    def __hash__(self):
+        return hash((self.curve, self.lam))
+
+    def __eq__(self, o):
+        return isinstance(o, GLVSpecExt) and (o.curve, o.lam) == (self.curve, self.lam)
+
+    # identical lattice math to GLVSpec.decompose (glv.rs:29-100)
+    def decompose(self, k: int):
+        r = self.curve.scalar.modulus
+        sgn = lambda t: t[1] if t[0] else -t[1]
+        n11, n12, n21, n22 = (sgn(t) for t in self.decomp)
+
+        def round_div(a, b):
+            d, m = divmod(a, b)
+            return d + (1 if 2 * m > b else 0)
+
+        beta_1 = round_div(k * n22, r)
+        beta_2 = round_div(k * (-n12), r)
+        b1 = beta_1 * n11 + beta_2 * n21
+        b2 = beta_1 * n12 + beta_2 * n22
+        k1 = k - b1
+        k2 = -b2
+        assert (k1 + self.lam * k2 - k) % r == 0
+        return k1, k2
+
+
+def endomorphism_ext(g: GLVSpecExt, A):
+    """φ(x, y) = (ENDO·x, y) on an extension-field curve."""
+    from zkarray.ec import sw_ext
+
+    F = g.curve.ops
+    ex = F.mul(A.x, F.const(g.endo_host, F.batch_shape_of(A.x)))
+    return sw_ext.ExtAffine(ex, A.y, A.inf)
+
+
+def glv_mul_ext(g: GLVSpecExt, A, scalars):
+    """Batched k_i·P_i on a G2-style curve via GLV (host decomposition +
+    device joint Straus ladder). Returns ExtJacobian."""
+    from zkarray.ec import sw_ext
+
+    curve = g.curve
+    halfbits = (curve.scalar.bits + 1) // 2 + 2
+    k1s, k2s, s1s, s2s = [], [], [], []
+    for k in scalars:
+        k1, k2 = g.decompose(int(k) % curve.scalar.modulus)
+        s1s.append(k1 < 0)
+        s2s.append(k2 < 0)
+        k1s.append(abs(k1))
+        k2s.append(abs(k2))
+    L = curve.scalar.num_limbs
+    k1a = jnp.asarray(lb.ints_to_limbs_np(k1s, L))
+    k2a = jnp.asarray(lb.ints_to_limbs_np(k2s, L))
+    s1 = jnp.asarray(np.asarray(s1s))
+    s2 = jnp.asarray(np.asarray(s2s))
+    return _glv_ladder_ext(g, A, k1a, k2a, s1, s2, halfbits)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def _glv_ladder_ext(g: GLVSpecExt, A, k1, k2, s1, s2, nbits: int):
+    from zkarray.ec import sw_ext
+
+    curve = g.curve
+    F = curve.ops
+    batch = F.batch_shape_of(A.x)
+    P = sw_ext.ExtAffine(A.x, F.select(s1, F.neg(A.y), A.y), A.inf)
+    phiA = endomorphism_ext(g, A)
+    Q = sw_ext.ExtAffine(phiA.x, F.select(s2, F.neg(phiA.y), phiA.y), phiA.inf)
+    PQ = sw_ext.to_affine(
+        curve, sw_ext.add(curve, sw_ext.from_affine(curve, P), sw_ext.from_affine(curve, Q))
+    )
+
+    limb_tab = jnp.asarray(
+        np.asarray([(nbits - 1 - i) // 16 for i in range(nbits)], dtype=np.int32)
+    )
+    shift_tab = jnp.asarray(
+        np.asarray([(nbits - 1 - i) % 16 for i in range(nbits)], dtype=np.int32)
+    )
+
+    def sel_aff(mask, a, b):
+        return sw_ext.ExtAffine(
+            F.select(mask, a.x, b.x),
+            F.select(mask, a.y, b.y),
+            jnp.where(mask, a.inf, b.inf),
+        )
+
+    def body(acc, ls):
+        limb, shift = ls
+        b1 = (jnp.take(k1, limb, axis=0) >> shift) & 1
+        b2 = (jnp.take(k2, limb, axis=0) >> shift) & 1
+        acc = sw_ext.double(curve, acc)
+        both = (b1 == 1) & (b2 == 1)
+        only1 = (b1 == 1) & (b2 == 0)
+        addend = sel_aff(both, PQ, sel_aff(only1, P, Q))
+        added = sw_ext.add(curve, acc, sw_ext.from_affine(curve, addend))
+        skip = (b1 == 0) & (b2 == 0)
+        return sw_ext._sel(curve, ~skip, added, acc), None
+
+    acc0 = sw_ext.zero(curve, batch)
+    acc, _ = jax.lax.scan(body, acc0, (limb_tab, shift_tab))
+    return acc
+
+
+def bls12_381_g2_glv() -> GLVSpecExt:
+    """Reference: curves/bls12_381/src/curves/g2.rs:193-222."""
+    from zkarray.curves import bls12_381 as b
+
+    return GLVSpecExt(
+        b.G2,
+        endo_host=(
+            793479390729215512621379701633421447060886740281060493010456487427281649075476305620758731620350,
+            0,
+        ),
+        lam=228988810152649578064853576960394133503,
+        decomp=[
+            (False, 228988810152649578064853576960394133503),
+            (True, 1),
+            (False, 1),
+            (False, 228988810152649578064853576960394133504),
+        ],
+    )

@@ -153,3 +153,128 @@ def deserialize_te(
     if validate:
         ok = ok & np.asarray(te_mod.is_on_curve(curve, pts))
     return pts, ok
+
+
+# ---------------------------------------------------------------------------
+# extension-field SW points (G2 et al.) — arkworks default canonical format
+# ---------------------------------------------------------------------------
+
+def _ext_y_is_negative(F, y) -> np.ndarray:
+    """y > -y with arkworks' extension-field ordering: coefficient-
+    lexicographic, HIGHEST coefficient dominant (quadratic_extension.rs:
+    444-453; cubic_extension.rs has the same shape)."""
+    spec = F.spec
+    deg = F.deg
+    gt = np.zeros(np.asarray(y[0]).shape[1:], dtype=bool)
+    decided = np.zeros_like(gt)
+    for j in range(deg - 1, -1, -1):
+        cj = y[j]
+        c_gt = _y_is_negative(spec, cj)
+        c_zero = np.asarray(fp.is_zero(spec, cj))
+        gt |= (~decided) & c_gt
+        decided |= ~c_zero
+    return gt
+
+
+def serialize_sw_ext(curve, pts, compress: bool = True) -> np.ndarray:
+    """ExtAffine points over a quadratic/cubic extension -> canonical bytes.
+
+    Arkworks format (ec/src/models/short_weierstrass/mod.rs:125-146 +
+    quadratic_extension.rs:687-695): coefficients c0..c_{deg-1} as plain LE
+    field bytes, SWFlags in the top 2 bits of the LAST coefficient's last
+    byte; infinity = all-zero with the infinity flag.
+    """
+    F = curve.ops
+    spec = F.spec
+    deg = F.deg
+    batch = F.batch_shape_of(pts.x)
+    inf = np.asarray(pts.inf)
+    xz = F.select(pts.inf, F.zero(batch), pts.x)
+    flags = np.where(
+        inf,
+        np.uint8(SW_FLAG_INFINITY),
+        np.where(_ext_y_is_negative(F, pts.y), np.uint8(SW_FLAG_NEGATIVE), np.uint8(0)),
+    )
+
+    def enc(v, with_flags):
+        parts = [serialize_fp(spec, v[j], flag_bits=0) for j in range(deg - 1)]
+        if with_flags:
+            parts.append(serialize_fp(spec, v[deg - 1], flag_bits=2, flags=flags))
+        else:
+            parts.append(serialize_fp(spec, v[deg - 1], flag_bits=0))
+        return np.concatenate(parts, axis=1)
+
+    if compress:
+        return enc(xz, True)
+    yz = F.select(pts.inf, F.zero(batch), pts.y)
+    return np.concatenate([enc(xz, False), enc(yz, True)], axis=1)
+
+
+def deserialize_sw_ext(curve, data: np.ndarray, compress: bool = True,
+                       validate: bool = True):
+    """Canonical bytes -> (ExtAffine, valid mask). Compressed decoding of
+    quadratic extensions uses the norm-trick sqrt (towers.quad_sqrt);
+    cubic-extension compressed decoding is not implemented (use
+    compress=False — the reference's G2-over-Fp3 curves are supported
+    uncompressed)."""
+    import jax.numpy as jnp
+
+    from zkarray.ec import sw_ext
+    from zkarray.ff.towers import quad_sqrt
+
+    F = curve.ops
+    spec = F.spec
+    deg = F.deg
+    data = np.asarray(data, dtype=np.uint8)
+    if data.ndim == 1:
+        data = data[None]
+    n = data.shape[0]
+    nb = field_byte_size(spec)
+
+    def dec(block, flag_bits_last):
+        """block: one ext element = (deg-1)·nb plain bytes + one
+        flag-carrying coefficient of field_byte_size(spec, flag_bits)."""
+        coeffs, oks = [], np.ones(n, dtype=bool)
+        flags = np.zeros(n, dtype=np.uint8)
+        off = 0
+        for j in range(deg):
+            fb = flag_bits_last if j == deg - 1 else 0
+            w = field_byte_size(spec, fb)
+            v, fl, ok = deserialize_fp(spec, block[:, off : off + w], flag_bits=fb)
+            off += w
+            coeffs.append(v)
+            oks &= ok
+            if j == deg - 1:
+                flags = fl
+        return jnp.stack(coeffs), flags, oks
+
+    if compress:
+        if deg != 2:
+            raise NotImplementedError(
+                "compressed ext-point decoding implemented for quadratic "
+                "extensions only"
+            )
+        x, flags, ok = dec(data, 2)
+        is_inf = (flags & SW_FLAG_INFINITY) != 0
+        neg = (flags & SW_FLAG_NEGATIVE) != 0
+        bad_flag = is_inf & neg
+        rhs = F.add(F.mul(F.sqr(x), x), F.const(curve.b_host, (n,)))
+        if not curve.a_is_zero:
+            rhs = F.add(rhs, F.mul(F.const(curve.a_host, (n,)), x))
+        root, is_sq = quad_sqrt(F, rhs)
+        root_is_larger = _ext_y_is_negative(F, root)
+        y_pos = F.select(jnp.asarray(root_is_larger), F.neg(root), root)
+        y = F.select(jnp.asarray(neg), F.neg(y_pos), y_pos)
+        pts = sw_ext.ExtAffine(x, y, jnp.asarray(is_inf))
+        ok = ok & (np.asarray(is_sq) | is_inf) & ~bad_flag
+    else:
+        x, _, okx = dec(data[:, : deg * nb], 0)
+        y, flags, oky = dec(data[:, deg * nb :], 2)
+        is_inf = (flags & SW_FLAG_INFINITY) != 0
+        pts = sw_ext.ExtAffine(x, y, jnp.asarray(is_inf))
+        ok = okx & oky
+        if validate:
+            ok = ok & (np.asarray(sw_ext.is_on_curve(curve, pts)) | is_inf)
+    if validate and compress:
+        ok = ok & (np.asarray(sw_ext.is_on_curve(curve, pts)) | is_inf)
+    return pts, ok

@@ -227,8 +227,22 @@ class ExtOps:
         """
         B = self.base
         ax = len(B.shape) + 1  # position after coeff axes + limb axis
-        xs = jnp.stack([p[0] for p in pairs], axis=ax)
-        ys = jnp.stack([p[1] for p in pairs], axis=ax)
+
+        # Align every operand to one common batch shape BEFORE stacking:
+        # mixed batches (e.g. a () - batch curve constant times an (n,)
+        # batch coordinate) would otherwise cross-broadcast inside the
+        # fused mul into an (n, n) batch — silently wrong shapes.
+        ops = [p[i] for p in pairs for i in (0, 1)]
+        batch = jnp.broadcast_shapes(*(o.shape[ax:] for o in ops))
+
+        def bc(x):
+            lead = x.shape[:ax]
+            cur = x.shape[ax:]
+            x = x.reshape(lead + cur + (1,) * (len(batch) - len(cur)))
+            return jnp.broadcast_to(x, lead + batch)
+
+        xs = jnp.stack([bc(p[0]) for p in pairs], axis=ax)
+        ys = jnp.stack([bc(p[1]) for p in pairs], axis=ax)
         prod = B.mul(xs, ys)
         return [jnp.take(prod, i, axis=ax) for i in range(len(pairs))]
 
