@@ -7,11 +7,16 @@ import numpy as np
 import pytest
 
 from zkarray.core.fieldspec import FieldSpec
-from zkarray.curves import bls12_381
+from zkarray.curves import bls12_381, bn254
 from zkarray.ff import fp
 from zkarray.kernels import butterfly_stage, mont_mul, mont_sqr
 
-SPECS = [bls12_381.G1.scalar, bls12_381.G1.base]
+# Interpreter-mode kernel runs execute/compile the body eagerly on CPU;
+# cost grows superlinearly in limb count (L=24 takes ~10 min on the 2-CPU
+# box vs ~6 s at L=16). The body is L-generic, so the default suite covers
+# it at L=16 (bls12-381 Fr + bn254 Fq); the L=24 instantiation runs in the
+# slow tier and, compiled, in the TPU-gated test below.
+SPECS = [bls12_381.G1.scalar, bn254.G1.base]
 
 
 @pytest.mark.parametrize("spec", SPECS, ids=lambda s: s.name)
@@ -50,12 +55,22 @@ def test_pallas_butterfly_matches_fp():
     w = fp.from_ints(spec, ws)
     a, b = butterfly_stage(spec, lo, hi, w)
     p = spec.modulus
-    want_a = [(l + h * t) % p for l, h, t in zip(los, his, ws)]
-    want_b = [(l - h * t) % p for l, h, t in zip(los, his, ws)]
+    # DIF/OI butterfly contract: (lo, hi, w) -> (lo + hi, (lo - hi)·w)
+    # (reference butterfly_fn_io, poly/src/domain/radix2/fft.rs:190-198)
+    want_a = [(l + h) % p for l, h in zip(los, his)]
+    want_b = [((l - h) * t) % p for l, h, t in zip(los, his, ws)]
     assert fp.to_ints(spec, a) == want_a
     assert fp.to_ints(spec, b) == want_b
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not __import__("os").environ.get("ZKARRAY_RUN_SLOW"),
+    reason="interpreter-mode run of the ~60k-op fused kernel takes minutes "
+    "on CPU (every op dispatches eagerly); set ZKARRAY_RUN_SLOW=1. The "
+    "compiled kernel is parity-tested on real TPU by "
+    "test_pallas_xyzz_add_affine_compiled_tpu.",
+)
 def test_pallas_xyzz_add_affine_matches_xla_and_oracle(monkeypatch):
     """Fused XYZZ mixed-add kernel (kernels/sw.py) vs the XLA path and the
     Python-int oracle, covering every edge class the kernel selects on:
@@ -108,3 +123,15 @@ def test_pallas_xyzz_add_affine_matches_xla_and_oracle(monkeypatch):
     got_pts = curve.affine_to_ints(sw.xyzz_to_affine(curve, got_kernel))
     want = [ec_add(P, A, curve.a_int, mod) for P, A in zip(p_ints, a_ints)]
     assert got_pts == want
+
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu",
+    reason="compiled-kernel parity needs a real TPU (the CPU backend only "
+    "supports pallas interpret mode, covered by the slow-marked test above)",
+)
+def test_pallas_xyzz_add_affine_compiled_tpu():
+    """Compiled-on-TPU smoke+parity for the fused XYZZ kernel at the
+    (L, 8, 128) block size, same edge-class coverage."""
+    test_pallas_xyzz_add_affine_matches_xla_and_oracle(None)
