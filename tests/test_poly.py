@@ -163,3 +163,40 @@ def test_sparse_mle_fix_variables_and_to_dense():
     ev_d = mle.evaluate(SPEC, d, pt)
     ev_s = mle.evaluate_sparse(SPEC, idx, vals, pt)
     assert fp.to_ints(SPEC, ev_d) == fp.to_ints(SPEC, ev_s)
+
+
+def test_sparse_ring_ops():
+    """Sparse add/sub/neg with like-term combination and zero dropping
+    (reference univariate/sparse.rs:139-235, multivariate/sparse.rs:126-214)."""
+    rng = random.Random(8)
+    # univariate: overlapping degrees, one exact cancellation at degree 3
+    c3 = rng.randrange(1, P)
+    a = sparse.uv_from_terms(SPEC, [(0, 5), (3, c3), (9, 11)])
+    b = sparse.uv_from_terms(SPEC, [(3, P - c3), (4, 2), (9, 1)])
+    degs, cs = sparse.uv_add(SPEC, a, b)
+    assert np.asarray(degs).tolist() == [0, 4, 9]  # degree 3 cancelled
+    tau = rng.randrange(P)
+    got = fp.to_ints(SPEC, sparse.uv_evaluate(SPEC, degs, cs, fp.from_ints(SPEC, [tau])))
+    want = (5 + 2 * pow(tau, 4, P) + 12 * pow(tau, 9, P)) % P
+    assert got == [want]
+    # sub: a - a = 0 (empty term list)
+    degs0, cs0 = sparse.uv_sub(SPEC, a, a)
+    assert np.asarray(degs0).shape[0] == 0
+
+    # multivariate
+    ta = [(5, []), (2, [(0, 2), (2, 1)]), (7, [(1, 1)])]
+    tb = [(P - 7, [(1, 1)]), (3, [(0, 2), (2, 1)]), (1, [(2, 3)])]
+    A = sparse.mv_from_terms(SPEC, 3, ta)
+    B = sparse.mv_from_terms(SPEC, 3, tb)
+    powers, cs = sparse.mv_add(SPEC, A, B)
+    assert powers.shape[0] == 3  # x1 term cancelled; {const, x0²x2, x2³}
+    pt = [rng.randrange(P) for _ in range(3)]
+    got = fp.to_ints(SPEC, sparse.mv_evaluate(SPEC, powers, cs, fp.from_ints(SPEC, pt)))
+    want = (5 + 5 * pow(pt[0], 2, P) * pt[2] + pow(pt[2], 3, P)) % P
+    assert got == [want]
+    # neg + add = sub
+    pn, cn = sparse.mv_sub(SPEC, A, B)
+    got2 = fp.to_ints(SPEC, sparse.mv_evaluate(SPEC, pn, cn, fp.from_ints(SPEC, pt)))
+    wa = (5 + 2 * pow(pt[0], 2, P) * pt[2] + 7 * pt[1]) % P
+    wb = ((P - 7) * pt[1] + 3 * pow(pt[0], 2, P) * pt[2] + pow(pt[2], 3, P)) % P
+    assert got2 == [(wa - wb) % P]

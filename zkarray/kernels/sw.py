@@ -39,13 +39,8 @@ def _sel(mask, a_rows, b_rows):
     return [jnp.where(mask, x, y) for x, y in zip(a_rows, b_rows)]
 
 
-def xyzz_add_affine(curve, P, A):
-    """Fused bucket += affine (mmadd-xyzz w/ branchless edges), Pallas path.
-
-    P: XYZZPoints coords (L, *batch); A: AffinePoints. Bit-identical to
-    sw.xyzz_add_affine's XLA path.
-    """
-    from zkarray.ec.sw import XYZZPoints
+def _consts(curve):
+    """(p_limbs, inv16, one_m, a_limbs) trace-time immediates for a curve."""
     from zkarray.ff import fp as _fp
 
     f = curve.base
@@ -56,6 +51,96 @@ def xyzz_add_affine(curve, P, A):
     if not curve.a_is_zero:
         am = f.to_mont_int(curve.a_int)
         a_limbs = tuple((am >> (LIMB_BITS * i)) & LIMB_MASK for i in range(L))
+    return p_limbs, inv16, one_m, a_limbs
+
+
+def _madd_core(L, p_limbs, inv16, one_m, a_limbs, st, AX, AY, a_inf):
+    """One fused XYZZ += affine step on limb-row lists (mmadd-xyzz +
+    branchless mdbl-2008-s-1 / identity edges). ``st`` = (X1, Y1, ZZ1, ZZZ1)
+    row lists; returns the new row lists. Shared by the elementwise kernel
+    and the MSM tile-accumulation kernel."""
+    mul = lambda u, v: km._mul_body(L, p_limbs, inv16, jnp.stack(u), jnp.stack(v))
+    sqr = lambda u: km._sqr_body(L, p_limbs, inv16, jnp.stack(u))
+    add = lambda u, v: km._add_body(L, p_limbs, u, v)
+    sub = lambda u, v: km._sub_body(L, p_limbs, u, v)
+
+    X1, Y1, ZZ1, ZZZ1 = st
+
+    U2 = mul(AX, ZZ1)
+    S2 = mul(AY, ZZZ1)
+    Pp = sub(U2, X1)
+    R = sub(S2, Y1)
+    PP = sqr(Pp)
+    PPP = mul(Pp, PP)
+    Q = mul(X1, PP)
+    X3 = sub(sub(sqr(R), PPP), add(Q, Q))
+    Y3 = sub(mul(R, sub(Q, X3)), mul(Y1, PPP))
+    ZZ3 = mul(ZZ1, PP)
+    ZZZ3 = mul(ZZZ1, PPP)
+
+    p0 = _is_zero(Pp)
+    r0 = _is_zero(R)
+    p_inf = _is_zero(ZZ1)
+    both = ~p_inf & ~a_inf
+
+    # doubling edge candidate (mdbl-2008-s-1)
+    U = add(AY, AY)
+    V = sqr(U)
+    Wr = mul(U, V)
+    S = mul(AX, V)
+    XX = sqr(AX)
+    M = add(add(XX, XX), XX)
+    if a_limbs is not None:
+        M = add(M, [jnp.full_like(AX[0], np.uint32(l)) for l in a_limbs])
+    X3d = sub(sqr(M), add(S, S))
+    Y3d = sub(mul(M, sub(S, X3d)), mul(Wr, AY))
+    dbl_bad = a_inf | _is_zero(AY)
+    zero = [jnp.zeros_like(AX[0])] * L
+    one = [jnp.full_like(AX[0], np.uint32(l)) for l in one_m]
+    Xd = _sel(dbl_bad, one, X3d)
+    Yd = _sel(dbl_bad, one, Y3d)
+    ZZd = _sel(dbl_bad, zero, V)
+    ZZZd = _sel(dbl_bad, zero, Wr)
+
+    is_dbl = both & p0 & r0
+    is_cancel = both & p0 & ~r0
+
+    X3 = _sel(is_dbl, Xd, X3)
+    Y3 = _sel(is_dbl, Yd, Y3)
+    ZZ3 = _sel(is_dbl, ZZd, ZZ3)
+    ZZZ3 = _sel(is_dbl, ZZZd, ZZZ3)
+
+    X3 = _sel(is_cancel, one, X3)
+    Y3 = _sel(is_cancel, one, Y3)
+    ZZ3 = _sel(is_cancel, zero, ZZ3)
+    ZZZ3 = _sel(is_cancel, zero, ZZZ3)
+
+    # P at infinity -> affine point lifted (zz = zzz = 1 or 0 if A inf)
+    one_or_zero = _sel(a_inf, zero, one)
+    X3 = _sel(p_inf, AX, X3)
+    Y3 = _sel(p_inf, AY, Y3)
+    ZZ3 = _sel(p_inf, one_or_zero, ZZ3)
+    ZZZ3 = _sel(p_inf, one_or_zero, ZZZ3)
+
+    # A at infinity -> P unchanged
+    X3 = _sel(a_inf, X1, X3)
+    Y3 = _sel(a_inf, Y1, Y3)
+    ZZ3 = _sel(a_inf, ZZ1, ZZ3)
+    ZZZ3 = _sel(a_inf, ZZZ1, ZZZ3)
+    return X3, Y3, ZZ3, ZZZ3
+
+
+def xyzz_add_affine(curve, P, A):
+    """Fused bucket += affine (mmadd-xyzz w/ branchless edges), Pallas path.
+
+    P: XYZZPoints coords (L, *batch); A: AffinePoints. Bit-identical to
+    sw.xyzz_add_affine's XLA path.
+    """
+    from zkarray.ec.sw import XYZZPoints
+
+    f = curve.base
+    L = f.num_limbs
+    p_limbs, inv16, one_m, a_limbs = _consts(curve)
 
     batch = P.x.shape[1:]
     (x1, y1, zz1, zzz1, ax, ay), bshape, n = km._flatten_pad(
@@ -64,81 +149,13 @@ def xyzz_add_affine(curve, P, A):
     (ainf_b,), _, _ = km._flatten_pad([A.inf.astype(jnp.uint32)[None]])
     nb = x1.shape[1] // km.SUBLANES
 
-    def one_rows(like):
-        return [jnp.full_like(like, np.uint32(l)) for l in one_m]
-
     def kernel(x1r, y1r, zz1r, zzz1r, axr, ayr, infr, ox, oy, ozz, ozzz):
-        mul = lambda u, v: km._mul_body(L, p_limbs, inv16, jnp.stack(u), jnp.stack(v))
-        sqr = lambda u: km._sqr_body(L, p_limbs, inv16, jnp.stack(u))
-        add = lambda u, v: km._add_body(L, p_limbs, u, v)
-        sub = lambda u, v: km._sub_body(L, p_limbs, u, v)
-
-        X1, Y1, ZZ1, ZZZ1 = _rows(x1r[:]), _rows(y1r[:]), _rows(zz1r[:]), _rows(zzz1r[:])
+        st = (_rows(x1r[:]), _rows(y1r[:]), _rows(zz1r[:]), _rows(zzz1r[:]))
         AX, AY = _rows(axr[:]), _rows(ayr[:])
         a_inf = infr[0] != 0
-
-        U2 = mul(AX, ZZ1)
-        S2 = mul(AY, ZZZ1)
-        Pp = sub(U2, X1)
-        R = sub(S2, Y1)
-        PP = sqr(Pp)
-        PPP = mul(Pp, PP)
-        Q = mul(X1, PP)
-        X3 = sub(sub(sqr(R), PPP), add(Q, Q))
-        Y3 = sub(mul(R, sub(Q, X3)), mul(Y1, PPP))
-        ZZ3 = mul(ZZ1, PP)
-        ZZZ3 = mul(ZZZ1, PPP)
-
-        p0 = _is_zero(Pp)
-        r0 = _is_zero(R)
-        p_inf = _is_zero(ZZ1)
-        both = ~p_inf & ~a_inf
-
-        # doubling edge candidate (mdbl-2008-s-1)
-        U = add(AY, AY)
-        V = sqr(U)
-        Wr = mul(U, V)
-        S = mul(AX, V)
-        XX = sqr(AX)
-        M = add(add(XX, XX), XX)
-        if a_limbs is not None:
-            M = add(M, [jnp.full_like(AX[0], np.uint32(l)) for l in a_limbs])
-        X3d = sub(sqr(M), add(S, S))
-        Y3d = sub(mul(M, sub(S, X3d)), mul(Wr, AY))
-        dbl_bad = a_inf | _is_zero(AY)
-        zero = [jnp.zeros_like(AX[0])] * L
-        one = one_rows(AX[0])
-        Xd = _sel(dbl_bad, one, X3d)
-        Yd = _sel(dbl_bad, one, Y3d)
-        ZZd = _sel(dbl_bad, zero, V)
-        ZZZd = _sel(dbl_bad, zero, Wr)
-
-        is_dbl = both & p0 & r0
-        is_cancel = both & p0 & ~r0
-
-        X3 = _sel(is_dbl, Xd, X3)
-        Y3 = _sel(is_dbl, Yd, Y3)
-        ZZ3 = _sel(is_dbl, ZZd, ZZ3)
-        ZZZ3 = _sel(is_dbl, ZZZd, ZZZ3)
-
-        X3 = _sel(is_cancel, one, X3)
-        Y3 = _sel(is_cancel, one, Y3)
-        ZZ3 = _sel(is_cancel, zero, ZZ3)
-        ZZZ3 = _sel(is_cancel, zero, ZZZ3)
-
-        # P at infinity -> affine point lifted (zz = zzz = 1 or 0 if A inf)
-        one_or_zero = _sel(a_inf, zero, one)
-        X3 = _sel(p_inf, AX, X3)
-        Y3 = _sel(p_inf, AY, Y3)
-        ZZ3 = _sel(p_inf, one_or_zero, ZZ3)
-        ZZZ3 = _sel(p_inf, one_or_zero, ZZZ3)
-
-        # A at infinity -> P unchanged
-        X3 = _sel(a_inf, X1, X3)
-        Y3 = _sel(a_inf, Y1, Y3)
-        ZZ3 = _sel(a_inf, ZZ1, ZZ3)
-        ZZZ3 = _sel(a_inf, ZZZ1, ZZZ3)
-
+        X3, Y3, ZZ3, ZZZ3 = _madd_core(
+            L, p_limbs, inv16, one_m, a_limbs, st, AX, AY, a_inf
+        )
         km._stack_out(ox, X3)
         km._stack_out(oy, Y3)
         km._stack_out(ozz, ZZ3)
@@ -165,3 +182,98 @@ def xyzz_add_affine(curve, P, A):
         km._unflatten(ozz, bshape, n),
         km._unflatten(ozzz, bshape, n),
     )
+
+
+# ---------------------------------------------------------------------------
+# MSM tile accumulation: T bucket rounds per kernel invocation
+# ---------------------------------------------------------------------------
+
+def xyzz_accum_tiles(curve, state, coords, pk, T: int):
+    """Run T sequential bucket rounds inside ONE kernel launch.
+
+    The reference's MSM inner loop adds each point into its bucket serially
+    (ec/src/scalar_mul/variable_base/mod.rs:464-475). The aligned-rounds MSM
+    turns that into dense (W·B)-wide mixed adds; this kernel additionally
+    keeps the bucket state RESIDENT IN VMEM across T rounds, so per-round
+    HBM traffic is one streamed point block instead of read+write of the
+    whole bucket array, and per-round dispatch cost vanishes (measured
+    round 4: the XLA per-round path spent ~9 ms/round in gather+dispatch
+    against 1.6 ms of add compute).
+
+    state:  (nb, 2L, 8, 128) uint32 — X‖Y‖ZZ‖ZZZ, 16-bit limb PAIRS packed
+            into u32 words (L//2 words per coordinate), 1024 buckets/block.
+    coords: (nb, T·L, 8, 128) uint32 — per round r, rows [r·L, r·L+L) are
+            the affine x‖y packed words of the point entering each bucket.
+    pk:     (nb, T, 8, 128) int32 — bit30 = negate-y, bit29 = skip (point
+            at infinity / bucket exhausted this round).
+    Returns the updated state (aliased with the input buffer).
+    """
+    f = curve.base
+    L = f.num_limbs
+    assert L % 2 == 0
+    Lp = L // 2
+    p_limbs, inv16, one_m, a_limbs = _consts(curve)
+    nb = state.shape[0]
+
+    def unpack(w):
+        rows = []
+        for i in range(w.shape[0]):
+            rows.append(w[i] & np.uint32(0xFFFF))
+            rows.append(w[i] >> LIMB_BITS)
+        return rows
+
+    def pack(rows):
+        return jnp.stack(
+            [rows[2 * i] | (rows[2 * i + 1] << LIMB_BITS) for i in range(len(rows) // 2)]
+        )
+
+    def kernel(st_ref, cd_ref, pk_ref, out_ref):
+        stw = st_ref[0]  # (2L, 8, 128)
+        X = unpack(stw[0 * Lp : 1 * Lp])
+        Y = unpack(stw[1 * Lp : 2 * Lp])
+        ZZ = unpack(stw[2 * Lp : 3 * Lp])
+        ZZZ = unpack(stw[3 * Lp : 4 * Lp])
+
+        def body(r, st):
+            cd = cd_ref[0, pl.ds(r * L, L)]  # (L, 8, 128)
+            pkv = pk_ref[0, r]  # (8, 128) int32
+            AX = unpack(cd[:Lp])
+            AY = unpack(cd[Lp:])
+            sign = ((pkv >> 30) & 1) != 0
+            a_inf = ((pkv >> 29) & 1) != 0
+            zero = [jnp.zeros_like(AX[0])] * L
+            AYn = km._sub_body(L, p_limbs, zero, AY)  # (p - y) mod p
+            AY = _sel(sign, AYn, AY)
+            X3, Y3, ZZ3, ZZZ3 = _madd_core(
+                L, p_limbs, inv16, one_m, a_limbs, st, AX, AY, a_inf
+            )
+            return tuple(X3), tuple(Y3), tuple(ZZ3), tuple(ZZZ3)
+
+        X, Y, ZZ, ZZZ = jax.lax.fori_loop(
+            0, T, body, (tuple(X), tuple(Y), tuple(ZZ), tuple(ZZZ))
+        )
+        out_ref[0] = jnp.concatenate(
+            [pack(list(X)), pack(list(Y)), pack(list(ZZ)), pack(list(ZZZ))]
+        )
+
+    st_spec = pl.BlockSpec(
+        (1, 2 * L, km.SUBLANES, km.LANES), lambda i: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cd_spec = pl.BlockSpec(
+        (1, T * L, km.SUBLANES, km.LANES), lambda i: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    pk_spec = pl.BlockSpec(
+        (1, T, km.SUBLANES, km.LANES), lambda i: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(state.shape, jnp.uint32),
+        grid=(nb,),
+        in_specs=[st_spec, cd_spec, pk_spec],
+        out_specs=st_spec,
+        input_output_aliases={0: 0},
+        interpret=km.interpret_mode(),
+    )(state, coords, pk)

@@ -63,12 +63,92 @@ def mv_from_terms(spec: FieldSpec, num_vars: int, terms):
     return jnp.asarray(powers), fp.from_ints(spec, cs)
 
 
+# ---- ring ops on sparse term lists ----
+# Reference: the Add/Sub/Neg impls on SparsePolynomial
+# (poly/src/polynomial/univariate/sparse.rs:139-235 and
+#  poly/src/polynomial/multivariate/sparse.rs:126-214): merge term lists,
+# combine like terms, drop zero coefficients. Term bookkeeping is host
+# metadata; coefficient combination is one batched segment-add on device.
+
+
+def _combine_terms(spec: FieldSpec, keys: np.ndarray, coeffs: jnp.ndarray):
+    """keys (k, d) row-keys -> unique sorted keys with coeffs summed per key
+    and exact zeros dropped (one device pass + one host sync for the mask)."""
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    # segment-sum in the field: scatter-add of raw limb words is NOT a field
+    # add (no carry/reduction), so accumulate by occurrence rank with fp.add
+    order = np.argsort(inv, kind="stable")
+    inv_sorted = inv[order]
+    acc = jnp.zeros((spec.num_limbs, uniq.shape[0]), dtype=jnp.uint32)
+    coeffs_sorted = coeffs[:, jnp.asarray(order.astype(np.int32))]
+    # max multiplicity is small (2 for a binary op); loop over occurrence rank
+    counts = np.bincount(inv_sorted, minlength=uniq.shape[0])
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for r in range(int(counts.max()) if counts.size else 0):
+        sel = counts > r
+        src = (starts + r)[sel]
+        dst = np.nonzero(sel)[0]
+        upd = fp.add(
+            spec,
+            acc[:, jnp.asarray(dst.astype(np.int32))],
+            coeffs_sorted[:, jnp.asarray(src.astype(np.int32))],
+        )
+        acc = acc.at[:, jnp.asarray(dst.astype(np.int32))].set(upd)
+    keep = ~np.asarray(fp.is_zero(spec, acc))
+    idx = np.nonzero(keep)[0]
+    return uniq[idx], acc[:, jnp.asarray(idx.astype(np.int32))]
+
+
+def mv_add(spec: FieldSpec, a, b):
+    """(powers, coeffs) + (powers, coeffs), like terms combined, zeros
+    dropped (multivariate/sparse.rs:126-166)."""
+    pa, ca = a
+    pb, cb = b
+    keys = np.concatenate([np.asarray(pa), np.asarray(pb)], axis=0)
+    coeffs = jnp.concatenate([ca, cb], axis=1)
+    uniq, acc = _combine_terms(spec, keys, coeffs)
+    return jnp.asarray(uniq), acc
+
+
+def mv_neg(spec: FieldSpec, a):
+    pa, ca = a
+    return pa, fp.neg(spec, ca)
+
+
+def mv_sub(spec: FieldSpec, a, b):
+    return mv_add(spec, a, mv_neg(spec, b))
+
+
+def uv_add(spec: FieldSpec, a, b):
+    """Sparse univariate add (univariate/sparse.rs:139-197)."""
+    da, ca = a
+    db, cb = b
+    keys = np.concatenate([np.asarray(da), np.asarray(db)])[:, None]
+    coeffs = jnp.concatenate([ca, cb], axis=1)
+    uniq, acc = _combine_terms(spec, keys, coeffs)
+    return jnp.asarray(uniq[:, 0].astype(np.uint32)), acc
+
+
+def uv_neg(spec: FieldSpec, a):
+    d, c = a
+    return d, fp.neg(spec, c)
+
+
+def uv_sub(spec: FieldSpec, a, b):
+    return uv_add(spec, a, uv_neg(spec, b))
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def mv_evaluate(spec: FieldSpec, powers, coeffs, point: jnp.ndarray) -> jnp.ndarray:
     """Σ_i c_i Π_j x_j^{e_ij} at one point (L, num_vars) -> (L, 1)."""
     k, nv = powers.shape
-    # x_j^{e_ij}: (L, k, nv)
-    pw = fp.pow_u32(spec, point[:, None, :], powers[None, :, :])
+    # x_j^{e_ij}: (L, k, nv) — broadcast the point over terms explicitly
+    # (the library's trailing-pad broadcast convention doesn't cover this)
+    pw = fp.pow_u32(
+        spec,
+        jnp.broadcast_to(point[:, None, :], (spec.num_limbs, k, nv)),
+        powers,
+    )
     # product over variables (log tree over axis 2)
     t = pw
     n = nv
