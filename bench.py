@@ -66,7 +66,64 @@ def bench_probe():
     return {"ok": True}
 
 
+def _tiled_inputs(curve, n, rng, base_n=64):
+    """Valid point batch: tile ``base_n`` precomputed multiples k_i·G.
+
+    The tiling makes an O(1)-host-work known answer possible: with
+    P_{i mod base_n} = k_{i mod base_n}·G,
+        Σ s_i·P_i = (Σ_j k_j·(Σ_{i≡j} s_i)  mod r) · G,
+    so the expected result is ONE host scalar-mul of G.
+    """
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from ec_oracle import ec_mul
+
+    gen = (curve.gen_x, curve.gen_y)
+    ks = [int(k) for k in rng.integers(1, 1 << 30, size=base_n)]
+    base_pts = [ec_mul(gen, k, curve.a_int, curve.base.modulus) for k in ks]
+    A0 = curve.affine_from_ints(base_pts)
+    reps = n // base_n
+    px = np.tile(np.asarray(A0.x), (1, reps))
+    py = np.tile(np.asarray(A0.y), (1, reps))
+    Ls = curve.scalar.num_limbs
+    sc = rng.integers(0, 1 << 16, size=(Ls, n), dtype=np.uint32)
+    sc[-1] >>= 2
+    return px, py, sc, ks, 16 * Ls - 2
+
+
+def _expected_msm(curve, ks, sc):
+    """Host known answer for _tiled_inputs (exact, numpy limb sums)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from ec_oracle import ec_mul
+
+    r = curve.scalar.modulus
+    base_n = len(ks)
+    Ls = sc.shape[0]
+    total = 0
+    for j in range(base_n):
+        cols = sc[:, j::base_n].astype(np.uint64)
+        limb_sums = cols.sum(axis=1)  # exact: <= 2^16·2^26 < 2^64
+        agg = sum(int(limb_sums[l]) << (16 * l) for l in range(Ls)) % r
+        total = (total + ks[j] * agg) % r
+    gen = (curve.gen_x, curve.gen_y)
+    return ec_mul(gen, total, curve.a_int, curve.base.modulus)
+
+
+def _check_msm(curve, out, ks, sc):
+    """Compare an XYZZ msm result against the host known answer."""
+    from zkarray.ec import sw
+
+    ax = sw.xyzz_to_affine(
+        curve, sw.XYZZPoints(*(v.reshape(v.shape + (1,)) for v in out))
+    )
+    got = curve.affine_to_ints(ax)[0]
+    want = _expected_msm(curve, ks, sc)
+    return got == want
+
+
 def bench_msm(log_n: int, curve_name: str = "bls12_381", iters: int = 3):
+    """One-shot MSM (fits HBM up to ~2^22): time it AND verify the result
+    against the host known answer — a banked number is a checked number
+    (reference always value-checks its MSMs, test-templates/src/msm.rs)."""
     _setup_jax()
     import jax.numpy as jnp
 
@@ -77,34 +134,10 @@ def bench_msm(log_n: int, curve_name: str = "bls12_381", iters: int = 3):
     curve = {"bls12_381": bls12_381.G1, "bn254": bn254.G1}[curve_name]
     n = 1 << log_n
     rng = np.random.default_rng(0)
-
-    # Synthetic but valid point batch: tile a small set of precomputed
-    # multiples of G (throughput is independent of point values).
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
-    from ec_oracle import ec_mul
-
-    base_n = 64
-    gen = (curve.gen_x, curve.gen_y)
-    base_pts = [
-        ec_mul(gen, int(k), curve.a_int, curve.base.modulus)
-        for k in rng.integers(1, 1 << 30, size=base_n)
-    ]
-    A0 = curve.affine_from_ints(base_pts)
-    reps = n // base_n
-    px = np.tile(np.asarray(A0.x), (1, reps))
-    py = np.tile(np.asarray(A0.y), (1, reps))
-    pinf = np.zeros(n, dtype=bool)
-
-    # random 254-bit scalars (top limb masked to 14 bits, so < 2^254 < r);
-    # the static bit bound is passed to msm as max_scalar_bits — the
-    # reference's magnitude-class dispatch (variable_base/mod.rs:242-347) —
-    # so the tail-window sub-bucket split is sized to the real distribution.
-    Ls = curve.scalar.num_limbs
-    sc = rng.integers(0, 1 << 16, size=(Ls, n), dtype=np.uint32)
-    sc[-1] >>= 2
-    bits = 16 * Ls - 2
-
-    A = AffinePoints(jnp.asarray(px), jnp.asarray(py), jnp.asarray(pinf))
+    px, py, sc, ks, bits = _tiled_inputs(curve, n, rng)
+    A = AffinePoints(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(np.zeros(n, dtype=bool))
+    )
     s = jnp.asarray(sc)
 
     _log(f"msm 2^{log_n}: inputs ready, compiling + first run...")
@@ -116,7 +149,65 @@ def bench_msm(log_n: int, curve_name: str = "bls12_381", iters: int = 3):
         out = msm_mod.msm(curve, A, s, None, bits)
     _sync(out.zz)
     dt = (time.perf_counter() - t0) / iters
+    verified = _check_msm(curve, out, ks, sc)
+    _log(f"msm 2^{log_n}: verified={verified}")
     return {"pts_per_s": n / dt, "dt": dt, "log_n": log_n,
+            "verified": bool(verified),
+            "pallas": os.environ.get("ZKARRAY_PALLAS", "1") != "0"}
+
+
+def bench_msm_chunked(log_n: int, chunk_log: int = 20, iters: int = 1):
+    """North-star sizes (2^22-2^26): stream fixed-size chunks through
+    ChunkedMSM (carried bucket state; reference ChunkedPippenger,
+    stream_pippenger.rs:10-70). Chunks are generated on device per
+    iteration from tiled base points; the known answer covers ALL chunks."""
+    _setup_jax()
+    import jax.numpy as jnp
+
+    from zkarray.curves import bls12_381
+    from zkarray.ec import msm as msm_mod
+    from zkarray.ec.sw import AffinePoints
+
+    curve = bls12_381.G1
+    n = 1 << log_n
+    chunk = 1 << chunk_log
+    n_chunks = n // chunk
+    rng = np.random.default_rng(0)
+    px, py, sc, ks, bits = _tiled_inputs(curve, chunk, rng)
+    A = AffinePoints(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(np.zeros(chunk, dtype=bool))
+    )
+    # fresh scalars per chunk, generated host-side once (excluded from the
+    # timed section: the metric is device throughput, not host RNG)
+    scs = [sc] + [
+        np.concatenate(
+            [rng.integers(0, 1 << 16, size=(sc.shape[0] - 1, chunk), dtype=np.uint32),
+             rng.integers(0, 1 << 14, size=(1, chunk), dtype=np.uint32)], axis=0
+        )
+        for _ in range(n_chunks - 1)
+    ]
+    s_dev = [jnp.asarray(x) for x in scs]
+
+    _log(f"msm 2^{log_n} chunked({n_chunks}x2^{chunk_log}): compiling...")
+    cm = msm_mod.ChunkedMSM(curve, chunk, total_hint=n, max_scalar_bits=bits)
+    cm.add_chunk(A, s_dev[0])
+    _sync(cm.state.zz)
+    out = cm.result()
+    _sync(out.zz)
+    _log(f"msm 2^{log_n} chunked: compiled, timing {iters} full runs")
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cm = msm_mod.ChunkedMSM(curve, chunk, total_hint=n, max_scalar_bits=bits)
+        for i in range(n_chunks):
+            cm.add_chunk(A, s_dev[i])
+        out = cm.result()
+        _sync(out.zz)
+    dt = (time.perf_counter() - t0) / iters
+    all_sc = np.concatenate(scs, axis=1)
+    verified = _check_msm(curve, out, ks, all_sc)
+    _log(f"msm 2^{log_n} chunked: verified={verified}")
+    return {"pts_per_s": n / dt, "dt": dt, "log_n": log_n,
+            "verified": bool(verified), "chunked": n_chunks,
             "pallas": os.environ.get("ZKARRAY_PALLAS", "1") != "0"}
 
 
@@ -137,13 +228,18 @@ def bench_ntt(log_n: int, iters: int = 5):
     _log(f"ntt 2^{log_n}: compiling + first run...")
     out = dom.fft(a)
     _sync(out[0, :4])
-    _log(f"ntt 2^{log_n}: first run done, timing {iters} iters")
+    # verification: exact ifft round-trip (the reference's fft tests do the
+    # same fft∘ifft identity, poly/src/domain/radix2/mod.rs tests)
+    back = dom.ifft(out)
+    verified = bool(np.array_equal(np.asarray(back), np.asarray(a)))
+    _log(f"ntt 2^{log_n}: roundtrip verified={verified}")
+    _log(f"ntt 2^{log_n}: timing {iters} iters")
     t0 = time.perf_counter()
     for _ in range(iters):
         out = dom.fft(a)
     _sync(out[0, :4])
     dt = (time.perf_counter() - t0) / iters
-    return {"eps": n / dt, "dt": dt, "log_n": log_n}
+    return {"eps": n / dt, "dt": dt, "log_n": log_n, "verified": verified}
 
 
 def bench_roofline(log_n: int = 20, iters: int = 8):
@@ -193,7 +289,7 @@ def bench_roofline(log_n: int = 20, iters: int = 8):
 # orchestration
 # ---------------------------------------------------------------------------
 
-def _run_worker(what, log_n, timeout_s, extra_env=None):
+def _run_worker(what, log_n, timeout_s, extra_env=None, chunk_log=21):
     """Run one measurement in a SUBPROCESS: a TPU-worker crash (e.g. a
     kernel fault) then costs one measurement, not the whole bench."""
     import subprocess
@@ -201,7 +297,7 @@ def _run_worker(what, log_n, timeout_s, extra_env=None):
     env = dict(os.environ)
     env.update(extra_env or {})
     cmd = [sys.executable, "-u", os.path.abspath(__file__), "--worker", what,
-           "--log-n", str(int(log_n))]
+           "--log-n", str(int(log_n)), "--chunk-log", str(int(chunk_log))]
     t0 = time.time()
     try:
         out = subprocess.run(
@@ -229,13 +325,15 @@ def main():
     ap.add_argument("--msm-log-n", type=int, default=18)
     ap.add_argument("--ntt-log-n", type=int, default=20)
     ap.add_argument("--worker", default=None,
-                    choices=[None, "probe", "msm", "ntt", "roofline"])
+                    choices=[None, "probe", "msm", "msmc", "ntt", "roofline"])
     ap.add_argument("--log-n", type=int, default=0)
+    ap.add_argument("--chunk-log", type=int, default=21)
     args = ap.parse_args()
 
     if args.worker:
         fn = {"probe": lambda: bench_probe(),
               "msm": lambda: bench_msm(args.log_n),
+              "msmc": lambda: bench_msm_chunked(args.log_n, args.chunk_log),
               "ntt": lambda: bench_ntt(args.log_n),
               "roofline": lambda: bench_roofline(args.log_n or 20)}[args.worker]
         print(json.dumps(fn()))
@@ -246,16 +344,18 @@ def main():
     def remaining():
         return args.budget_s - (time.time() - t_start)
 
-    def attempt(what, log_n, cap, env=None, floor=120):
+    def attempt(what, log_n, cap, env=None, floor=120, chunk_log=21):
         """One budgeted subprocess attempt; None if out of budget/failed."""
         t = min(cap, remaining() - 20)
         if t < floor:
             _log(f"skip {what} 2^{log_n}: {remaining():.0f}s left")
             return None
-        return _run_worker(what, log_n, timeout_s=t, extra_env=env)
+        return _run_worker(what, log_n, timeout_s=t, extra_env=env,
+                           chunk_log=chunk_log)
 
     results = {}
     msm_best = None  # (pts_per_s, record)
+    msm_sizes = {}   # log_n -> record (verified only)
 
     # 1. health probe (retry once: tunnel recovers in ~1 min after a wedge)
     probe = attempt("probe", 0, cap=300, floor=60)
@@ -274,32 +374,36 @@ def main():
 
     def bank_msm(r):
         nonlocal msm_best
-        if r and (msm_best is None or r["pts_per_s"] > msm_best[0]):
-            msm_best = (r["pts_per_s"], r)
-
-    # 2. safe XLA path, moderate size: the bankable number
-    bank_msm(attempt("msm", 16, cap=600, env=xla))
-
-    # 3. NTT
-    ntt = attempt("ntt", args.ntt_log_n, cap=480)
-    if not ntt:
-        ntt = attempt("ntt", 16, cap=300)
-
-    # 4. Pallas-kernel path, larger sizes (measured r3: 142k pts/s at 2^18,
-    #    155k at 2^20). Run AFTER the safe bank: a kernel fault can wedge
-    #    the tunnel for ~30 min.
-    if remaining() > 240:
-        r = attempt("msm", args.msm_log_n, cap=420)
+        if r and not r.get("verified", False):
+            _log(f"REJECT unverified msm result at 2^{r['log_n']}")
+            return
         if r:
-            bank_msm(r)
-            if remaining() > 300:
-                bank_msm(attempt("msm", args.msm_log_n + 2, cap=420))
-        else:
-            _log("pallas attempt failed; re-probing tunnel")
-            attempt("probe", 0, cap=240, floor=60)
-            bank_msm(attempt("msm", args.msm_log_n, cap=420, env=xla))
+            msm_sizes[r["log_n"]] = r
+            if msm_best is None or r["pts_per_s"] > msm_best[0]:
+                msm_best = (r["pts_per_s"], r)
 
-    # 7. roofline
+    # 2. flagship: 2^20 one-shot on the kernel path (verified in-worker)
+    r20 = attempt("msm", 20, cap=600)
+    bank_msm(r20)
+    if not r20:
+        _log("kernel-path 2^20 failed; re-probing, then XLA fallback")
+        attempt("probe", 0, cap=240, floor=60)
+        bank_msm(attempt("msm", 16, cap=480, env=xla))
+
+    # 3. NTT at the north-star size (2^24), fallback 2^20
+    ntt = attempt("ntt", args.ntt_log_n, cap=600)
+    if not ntt:
+        ntt = attempt("ntt", 20, cap=300)
+
+    # 4. north-star MSM ladder: 2^22 one-shot, then chunked 2^24 / 2^26
+    if remaining() > 300:
+        bank_msm(attempt("msm", 22, cap=700))
+    if remaining() > 420:
+        bank_msm(attempt("msmc", 24, cap=700, chunk_log=21))
+    if remaining() > 600:
+        bank_msm(attempt("msmc", 26, cap=1100, chunk_log=21))
+
+    # 5. roofline
     roof = attempt("roofline", 20, cap=300)
 
     if msm_best:
@@ -312,6 +416,11 @@ def main():
             "baseline": BASELINE_NOTE,
             "msm_seconds": round(r["dt"], 4),
             "msm_kernel_path": "pallas" if r.get("pallas") else "xla",
+            "msm_verified": True,  # bank_msm rejects unverified results
+            "msm_ladder": {
+                f"2^{k}": round(v["pts_per_s"], 1)
+                for k, v in sorted(msm_sizes.items())
+            },
         }
     if ntt:
         extra = {

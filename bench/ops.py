@@ -136,6 +136,37 @@ def bench_pairing(results, n_pairs=8):
     results["bls12_381_pairing_compile_s"] = round(compile_s, 1)
 
 
+def bench_pairing_bn254(results, n_pairs=8):
+    """Full BN254 pairing (bench-templates/src/macros/pairing.rs analog)."""
+    from zkarray.curves import bn254
+    from zkarray.ec.pairing import bn
+    from zkarray.ec.sw import AffinePoints
+    from zkarray.ec.sw_ext import ExtAffine
+    from zkarray.ff import fp
+
+    c = bn254.G1
+    gx = fp.from_ints(c.base, [c.gen_x] * n_pairs)
+    gy = fp.from_ints(c.base, [c.gen_y] * n_pairs)
+    P = AffinePoints(gx, gy, jnp.zeros(n_pairs, dtype=bool))
+    F2 = bn254.FQ2
+    g2 = bn254.G2
+    qx = F2.from_ints([[g2.gen_x[0]] * n_pairs, [g2.gen_x[1]] * n_pairs])
+    qy = F2.from_ints([[g2.gen_y[0]] * n_pairs, [g2.gen_y[1]] * n_pairs])
+    Q = ExtAffine(qx, qy, jnp.zeros(n_pairs, dtype=bool))
+    eng = bn254.PAIRING
+
+    t0 = time.perf_counter()
+    out = bn.pairing(eng, P, Q)
+    _sync(jax.tree.leaves(out)[0])
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = bn.pairing(eng, P, Q)
+    _sync(jax.tree.leaves(out)[0])
+    dt = time.perf_counter() - t0
+    results["bn254_pairing_per_s"] = round(n_pairs / dt, 2)
+    results["bn254_pairing_compile_s"] = round(compile_s, 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n", type=int, default=18)
@@ -155,6 +186,7 @@ def main():
         bench_group(bls12_381.G1, n, results, "bls12_381_g1")
     if args.ops in ("all", "pairing"):
         bench_pairing(results)
+        bench_pairing_bn254(results)
     print(json.dumps(results))
 
 

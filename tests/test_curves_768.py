@@ -115,7 +115,6 @@ def test_bw6_767_generators():
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not __import__("os").environ.get("ZKARRAY_RUN_SLOW"), reason="set ZKARRAY_RUN_SLOW=1")
 def test_mnt4_753_pairing_bilinear():
     from zkarray.ec.pairing import mnt as mnt_mod
     from zkarray.ec import sw, sw_ext
@@ -145,7 +144,6 @@ def test_mnt4_753_pairing_bilinear():
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not __import__("os").environ.get("ZKARRAY_RUN_SLOW"), reason="set ZKARRAY_RUN_SLOW=1")
 def test_bls12_377_pairing_devices():
     # covered un-marked in test_pairing_bls377.py; kept here for the
     # 768-bit suite completeness run
@@ -155,7 +153,6 @@ def test_bls12_377_pairing_devices():
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not __import__("os").environ.get("ZKARRAY_RUN_SLOW"), reason="set ZKARRAY_RUN_SLOW=1")
 def test_cp6_782_pairing_bilinear():
     """e(2G, H) == e(G, H)^2 on CP6-782 (device Miller loop + final exp,
     host-precomputed ladder)."""
@@ -181,7 +178,6 @@ def test_cp6_782_pairing_bilinear():
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not __import__("os").environ.get("ZKARRAY_RUN_SLOW"), reason="set ZKARRAY_RUN_SLOW=1")
 def test_mnt6_753_pairing_bilinear():
     """e(2G, H) == e(G, 2H) on MNT6-753 (reference test_pairing! semantics,
     test-templates/src/pairing.rs:2-67) — first actual Miller-loop exercise
@@ -217,7 +213,6 @@ def test_mnt6_753_pairing_bilinear():
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not __import__("os").environ.get("ZKARRAY_RUN_SLOW"), reason="set ZKARRAY_RUN_SLOW=1")
 def test_bw6_767_pairing_bilinear():
     """e(2G, H) == e(G, 2H) on BW6-767 (G2 over the base prime field)."""
     from zkarray.ec.pairing import bw6 as bw6_mod

@@ -62,7 +62,6 @@ def test_fft_sharded_vs_domain():
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not __import__("os").environ.get("ZKARRAY_RUN_SLOW"), reason="set ZKARRAY_RUN_SLOW=1")
 def test_msm_sharded_2pow14():
     """Sharded MSM at 2^14 on the 8-device mesh vs the single-device msm
     (which is itself oracle-tested) — scale-tier test per BASELINE configs.
@@ -98,7 +97,6 @@ def test_msm_sharded_2pow14():
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not __import__("os").environ.get("ZKARRAY_RUN_SLOW"), reason="set ZKARRAY_RUN_SLOW=1")
 def test_fft_sharded_2pow14():
     """Sharded four-step NTT at 2^14 vs the single-device domain FFT."""
     spec = bn254.FR
@@ -117,7 +115,6 @@ def test_fft_sharded_2pow14():
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not __import__("os").environ.get("ZKARRAY_RUN_SLOW"), reason="set ZKARRAY_RUN_SLOW=1")
 def test_ntt_2pow20_host_parity():
     """Radix-2 NTT at 2^20 vs a host-side numpy-free oracle: evaluate the
     DFT property on structured input instead of O(n^2) — specifically,

@@ -94,3 +94,26 @@ def test_vanishing_poly():
     xs = [5, 123456789]
     got = fp.to_ints(spec, dom.evaluate_vanishing_polynomial(fp.from_ints(spec, xs)))
     assert got == [(pow(x, 16, p) - pow(3, 16, p)) % p for x in xs]
+
+
+def test_fourstep_matches_flat_ladder():
+    """The large-n four-step path is bit-identical to the flat radix-2
+    ladder (poly/domain.py:fft_fourstep_core vs _fft_core) and round-trips
+    through ifft, at the smallest four-step size."""
+    import numpy as np
+    from zkarray.poly import domain as dm
+
+    spec = bn254.FR
+    n = dm.FOURSTEP_MIN
+    dom = Radix2Domain(spec, n)
+    rng = np.random.default_rng(11)
+    limbs = rng.integers(0, 1 << 16, size=(spec.num_limbs, n), dtype=np.uint32)
+    limbs[-1] >>= 4
+    import jax.numpy as jnp
+
+    a = jnp.asarray(limbs)
+    got = dom.fft(a)
+    want = dm._fft_core(spec, a, n, dom.group_gen_int, None)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+    back = dom.ifft(got)
+    assert np.array_equal(np.asarray(back), np.asarray(a))

@@ -135,3 +135,105 @@ def test_pallas_xyzz_add_affine_compiled_tpu():
     """Compiled-on-TPU smoke+parity for the fused XYZZ kernel at the
     (L, 8, 128) block size, same edge-class coverage."""
     test_pallas_xyzz_add_affine_matches_xla_and_oracle(None)
+
+
+def _accum_tiles_case():
+    """Shared driver: tile-accumulation kernel vs T sequential XLA mixed
+    adds on bn254 (L=16 keeps interpreter cost tolerable). Covers sign
+    negation, skip (bit29), and generic adds across 2 rounds."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from ec_oracle import ec_mul
+
+    import jax.numpy as jnp
+    from zkarray.ec import msm as msm_mod, sw
+    from zkarray.ec.sw import AffinePoints
+    from zkarray.kernels import sw as ksw
+
+    curve = bn254.G1
+    L = curve.base.num_limbs
+    mod = curve.base.modulus
+    gen = (curve.gen_x, curve.gen_y)
+    rng = np.random.default_rng(21)
+    nb, T = 1, 2
+    n_slots = nb * 1024
+
+    state0 = sw.xyzz_zero(curve, (n_slots,))
+    rounds_pts = []
+    rounds_pk = []
+    for r in range(T):
+        pts = [
+            ec_mul(gen, int(k), curve.a_int, mod)
+            for k in rng.integers(1, 1 << 16, size=n_slots)
+        ]
+        A = curve.affine_from_ints(pts)
+        sign = rng.integers(0, 2, size=n_slots).astype(bool)
+        skip = rng.integers(0, 4, size=n_slots) == 0
+        rounds_pts.append((A, sign, skip))
+        pk = (sign.astype(np.int32) << 30) | (skip.astype(np.int32) << 29)
+        rounds_pk.append(pk)
+
+    # XLA reference: apply the two rounds with sw.xyzz_add_affine
+    want = state0
+    for A, sign, skip in rounds_pts:
+        y = fp.select(jnp.asarray(sign), fp.neg(curve.base, A.y), A.y)
+        want = sw.xyzz_add_affine(
+            curve, want, AffinePoints(A.x, y, jnp.asarray(skip))
+        )
+
+    # kernel: pack streams
+    def pack_pairs(a):
+        return a[0::2] | (a[1::2] << 16)
+
+    st_p = (
+        jnp.concatenate([pack_pairs(v) for v in state0], axis=0)
+        .reshape(2 * L, nb, 8, 128)
+        .transpose(1, 0, 2, 3)
+    )
+    cds = []
+    for A, _, _ in rounds_pts:
+        xy = jnp.concatenate([A.x, A.y], axis=0)
+        cds.append(pack_pairs(xy))  # (L, n_slots)
+    coords = (
+        jnp.stack(cds, axis=1)  # (L, T, n_slots)
+        .reshape(L, T, nb, 8, 128)
+        .transpose(2, 1, 0, 3, 4)
+        .reshape(nb, T * L, 8, 128)
+    )
+    pk = (
+        jnp.asarray(np.stack(rounds_pk))  # (T, n_slots)
+        .reshape(T, nb, 8, 128)
+        .transpose(1, 0, 2, 3)
+    )
+    got_p = ksw.xyzz_accum_tiles(curve, st_p, coords, pk, T)
+    rows = got_p.transpose(1, 0, 2, 3).reshape(2 * L, n_slots)
+    Lp = L // 2
+
+    def unpack(w):
+        return jnp.stack([w & 0xFFFF, w >> 16], axis=1).reshape(
+            (2 * Lp,) + w.shape[1:]
+        )
+
+    got = sw.XYZZPoints(*(unpack(rows[i * Lp : (i + 1) * Lp]) for i in range(4)))
+    for v_k, v_x in zip(got, want):
+        assert np.array_equal(np.asarray(v_k), np.asarray(v_x))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not __import__("os").environ.get("ZKARRAY_RUN_SLOW"),
+    reason="interpreter-mode tile-accumulation kernel takes minutes on CPU; "
+    "set ZKARRAY_RUN_SLOW=1. Compiled parity runs on TPU via "
+    "test_accum_tiles_compiled_tpu; end-to-end MSM correctness on TPU is "
+    "checked by bench.py's known-answer gate on every run.",
+)
+def test_accum_tiles_matches_xla():
+    _accum_tiles_case()
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu",
+    reason="compiled tile-accumulation parity needs a real TPU",
+)
+def test_accum_tiles_compiled_tpu():
+    _accum_tiles_case()

@@ -98,3 +98,32 @@ def test_msm_2pow10_default_window():
     res = msm.msm_affine(curve, A, s)
     got = curve.affine_to_ints(res)[0]
     assert got == oracle_msm(pts, ks, a, mod)
+
+
+def test_chunked_msm_matches_single():
+    """ChunkedMSM (carried bucket state; reference stream_pippenger.rs
+    ChunkedPippenger) equals a one-shot msm, including a padded last chunk."""
+    curve = bn254.G1
+    a, mod = curve.a_int, curve.base.modulus
+    r = curve.scalar.modulus
+    rng = random.Random(42)
+    gen = (curve.gen_x, curve.gen_y)
+    n, chunk = 40, 16  # 2 full chunks + one 8-wide padded chunk
+    pts = [ec_mul(gen, rng.randrange(1, 1 << 40), a, mod) for _ in range(n)]
+    ks = [0, 1, r - 1] + [rng.randrange(r) for _ in range(n - 3)]
+    A = curve.affine_from_ints(pts)
+    s = fp.from_ints(curve.scalar, ks, mont=False)
+
+    cm = msm.ChunkedMSM(curve, chunk, total_hint=n, c=5)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        sub = sw.AffinePoints(A.x[:, lo:hi], A.y[:, lo:hi], A.inf[lo:hi])
+        cm.add_chunk(sub, s[:, lo:hi])
+    res = cm.result()
+    ax = sw.xyzz_to_affine(
+        curve, sw.XYZZPoints(*(v.reshape(v.shape + (1,)) for v in res))
+    )
+    got = curve.affine_to_ints(ax)[0]
+    want_full = msm.msm_affine(curve, A, s, 5)
+    assert got == curve.affine_to_ints(want_full)[0]
+    assert got == oracle_msm(pts, ks, a, mod)

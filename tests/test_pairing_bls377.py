@@ -2,6 +2,14 @@
 engine's D-twist path (reference curves/bls12_377; test-templates/src/
 pairing.rs:2-67)."""
 
+# Fast-tier budget: the D-twist/BW6/MNT engines each compile their own
+# Miller ladder (minutes cold on a 2-CPU box); BLS12-381 + BN254 cover the
+# pairing surface in the default tier, these run under `pytest -m slow`
+# (the reference gates its heavy-curve suites the same way, ci.yml:213+).
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 from zkarray.curves import bls12_377 as b

@@ -24,30 +24,18 @@ from zkarray.ff import fp
 from zkarray.poly.domain import _fft_core, power_table
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
 def fft_fourstep(
     spec: FieldSpec, x: jnp.ndarray, n1: int, n2: int, w_int: int,
     scale_int: Optional[int] = None,
 ) -> jnp.ndarray:
     """Single-device four-step NTT (oracle for the sharded version).
 
-    x: (L, n) flat, i = i1·n2 + i2. Returns (L, n) natural order.
+    x: (L, n) flat, i = i1*n2 + i2. Returns (L, n) natural order.
+    Delegates to poly.domain.fft_fourstep_core (gather-free twiddle build).
     """
-    L = x.shape[0]
-    n = n1 * n2
-    p = spec.modulus
-    A = x.reshape(L, n1, n2)
-    B = _fft_core(spec, A, n1, pow(w_int, n2, p), None)  # FFT over axis1 (i1)
-    # twiddle w^{k1·i2}
-    pt = power_table(spec, w_int, n)
-    idx = (np.arange(n1, dtype=np.int64)[:, None] * np.arange(n2, dtype=np.int64)[None, :]) % n
-    tw = jnp.take(pt, jnp.asarray(idx, dtype=jnp.int32).reshape(-1), axis=1).reshape(L, n1, n2)
-    C = fp.mont_mul(spec, B, tw)
-    # FFT over i2: transpose to put i2 in the transform axis
-    Ct = C.transpose(0, 2, 1)  # (L, n2, n1)
-    E = _fft_core(spec, Ct, n2, pow(w_int, n1, p), scale_int)  # (L, n2, n1): [k2, k1]
-    # natural order: k = k1 + n1·k2 → flatten (n2, n1) row-major
-    return E.reshape(L, n)
+    from zkarray.poly.domain import fft_fourstep_core
+
+    return fft_fourstep_core(spec, x, n1, n2, w_int, scale_int)
 
 
 def fft_sharded(

@@ -20,12 +20,19 @@ to XLA. Instead:
     same bucket within a round.
 4.  ``rounds = max bucket occupancy`` (a lax.while_loop bound): work is
     W·(N + slack) mixed adds — the Pippenger optimum plus the occupancy
-    imbalance — and every add runs at W·B-lane batch width.
-5.  Bucket reduction Σ b·bucket_b uses a two-level chunked suffix scheme
-    (reference :477-484 does serial suffix sums), then Horner across windows.
+    imbalance — and every add runs at W·B-lane batch width. On TPU the
+    loop runs T rounds per Pallas launch with the bucket state resident in
+    VMEM and all T rounds' point fetches in one flat gather
+    (_round_loop_tiles; XLA gather costs ~9 ns/INDEX regardless of row
+    width, so fewer, wider gathers win).
+5.  Bucket reduction Σ b·bucket_b decomposes the weights into bits — per
+    bit one masked full-width tree-sum (reference :477-484 does serial
+    suffix sums) — then a single-launch Horner kernel walks the ~c·W
+    serial doubling tail (kernels/sw.py:horner_windows).
 
 Degenerate inputs (e.g. all scalars equal) stay correct: the while_loop just
-runs more rounds.
+runs more rounds. ChunkedMSM streams fixed-size chunks through the same
+bucket state for larger-than-HBM inputs (2^24–2^26).
 """
 
 from __future__ import annotations
@@ -42,6 +49,97 @@ from zkarray.core.sort import bitonic_sort_kv
 from zkarray.ec import sw
 from zkarray.ec.sw import AffinePoints, SWCurveSpec, XYZZPoints
 from zkarray.ff import fp
+
+import os
+
+# Rounds per accumulation-kernel launch (VMEM-resident bucket state).
+ACCUM_T = int(os.environ.get("ZKARRAY_MSM_TILE_T", "16"))
+
+
+def _pack_pairs(a: jnp.ndarray) -> jnp.ndarray:
+    """(2k, ...) 16-bit limb rows -> (k, ...) full u32 words."""
+    return a[0::2] | (a[1::2] << 16)
+
+
+def _unpack_pairs(w: jnp.ndarray) -> jnp.ndarray:
+    """(k, ...) packed words -> (2k, ...) 16-bit limb rows."""
+    k = w.shape[0]
+    return jnp.stack([w & 0xFFFF, w >> 16], axis=1).reshape((2 * k,) + w.shape[1:])
+
+
+def _round_loop_tiles(curve, packed, pxy, S, rounds, state0):
+    """Bucket-round loop, TPU kernel path: T rounds per launch with the
+    bucket state resident in VMEM (kernels/sw.py:xyzz_accum_tiles) and all
+    T rounds' point fetches batched into ONE flat gather.
+
+    Rationale (measured round 4, v5e via axon): XLA gather cost is
+    ~9 ns/index regardless of row width, plus ~8 ms fixed per dispatch —
+    the old one-gather-per-round loop paid ~9 ms/round against 1.6 ms of
+    add compute. Tiling T rounds amortizes the fixed cost T-fold; the
+    kernel removes the per-round state read/write (384 B/bucket/round).
+    """
+    f = curve.base
+    L = f.num_limbs
+    Lp = L // 2
+    W = packed.shape[0]
+    N = packed.shape[1]
+    half = S.shape[1] - 1
+    WB = W * half
+    nb = -(-WB // 1024)
+    WBp = nb * 1024
+    pad = WBp - WB
+    T = ACCUM_T
+
+    S_lo = jnp.pad(S[:, :-1].reshape(WB), (0, pad))
+    S_hi = jnp.pad(S[:, 1:].reshape(WB), (0, pad))  # pad slots never valid
+    base = jnp.pad(
+        jnp.broadcast_to(
+            jnp.arange(W, dtype=jnp.int32)[:, None] * N, (W, half)
+        ).reshape(WB),
+        (0, pad),
+    )
+    packed_flat = packed.reshape(W * N)
+
+    def pack_state(st):
+        rows = jnp.concatenate(
+            [_pack_pairs(v.reshape(L, WB)) for v in st], axis=0
+        )  # (2L, WB)
+        rows = jnp.pad(rows, ((0, 0), (0, pad)))
+        return rows.reshape(2 * L, nb, 8, 128).transpose(1, 0, 2, 3)
+
+    def unpack_state(stp):
+        rows = stp.transpose(1, 0, 2, 3).reshape(2 * L, WBp)[:, :WB]
+        parts = [_unpack_pairs(rows[i * Lp : (i + 1) * Lp]) for i in range(4)]
+        return XYZZPoints(*(p.reshape(L, W, half) for p in parts))
+
+    from zkarray.kernels import sw as ksw
+
+    rT = jnp.arange(T, dtype=jnp.int32)
+    state_p = pack_state(state0)
+
+    def cond(c):
+        return c[0] < rounds
+
+    def body(c):
+        t0, stp = c
+        pos = S_lo[None, :] + (t0 + rT)[:, None]  # (T, WBp)
+        valid = pos < S_hi[None, :]
+        posc = jnp.where(valid, pos, 0)
+        pk = jnp.take(packed_flat, (base[None] + posc).reshape(-1))
+        pk = jnp.where(valid, pk.reshape(T, WBp), jnp.int32(1 << 29))
+        cidx = (pk & ((1 << 29) - 1)).reshape(-1)
+        g = pxy[:, cidx]  # (L, T*WBp) packed coord words
+        coords = (
+            g.reshape(L, T, nb, 8, 128)
+            .transpose(2, 1, 0, 3, 4)
+            .reshape(nb, T * L, 8, 128)
+        )
+        pkr = pk.reshape(T, nb, 8, 128).transpose(1, 0, 2, 3)
+        stp = ksw.xyzz_accum_tiles(curve, stp, coords, pkr, T)
+        return t0 + T, stp
+
+    _, state_p = jax.lax.while_loop(cond, body, (jnp.int32(0), state_p))
+    return unpack_state(state_p)
 
 
 def default_window_size(n: int) -> int:
@@ -171,109 +269,104 @@ def _weighted_bucket_sum(
     return sw.xyzz_add(curve, tot, scaled)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def msm(
-    curve: SWCurveSpec,
-    points: AffinePoints,
-    scalars: jnp.ndarray,
-    c: Optional[int] = None,
-    max_scalar_bits: Optional[int] = None,
-) -> XYZZPoints:
-    """Σ scalars_i · points_i. ``scalars``: canonical limbs (Ls, N).
+def _window_geometry(c: int, scalar_bits: int):
+    """(W, half, splits, W_main) for a window size and scalar bit bound.
 
-    Returns a single XYZZ point (batch shape ()); use sw.xyzz_to_affine.
-    Matches VariableBaseMSM::msm (variable_base/mod.rs:437-503) output.
-
-    ``max_scalar_bits`` is the TPU-shaped magnitude specialization
-    (reference msm_signed's ±u8/±u16/... width classes,
-    variable_base/mod.rs:242-347): a static bound on every scalar's bit
-    length shrinks the window count W — the compiled kernel does
-    proportionally less work. Use msm_mixed() for per-class dispatch of
-    heterogeneous scalar batches.
+    W is the smallest window count whose top window cannot produce a
+    recentering carry-out: scalar_bits - c*(W-1) <= c - 2 keeps the top
+    coefficient below 2^(c-1) so signed_digits' final carry is provably 0.
+    ``splits`` implements the tail-window sub-bucket rebalance (see
+    msm_accumulate docstring): [(w, v_w, K_w)] suffix windows whose narrow
+    digit range is spread over K_w sub-slots.
     """
-    f = curve.base
-    L = f.num_limbs
-    n = points.x.shape[1]
-    if c is None:
-        c = default_window_size(n)
-    half = 1 << (c - 1)  # buckets 1..half; slot j holds bucket j+1
-    scalar_bits = curve.scalar.bits
-    if max_scalar_bits is not None:
-        scalar_bits = min(scalar_bits, max_scalar_bits)
-    # Smallest window count whose top window cannot produce a recentering
-    # carry-out: needs scalar_bits - c·(W-1) <= c - 2 so the top coefficient
-    # (raw bits + carry-in) stays below 2^(c-1) and signed_digits' final
-    # carry is provably zero.
+    half = 1 << (c - 1)
     W = (scalar_bits + c + 1) // c
-
-    digits = signed_digits(curve.scalar, scalars, c, W)  # (W, N) int32
-    mag = jnp.abs(digits)
-    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (W, n))
-
-    # Tail-window sub-bucket split. Windows past the scalar width span only
-    # rem_w = scalar_bits - c·w leftover bits, so their |digit| takes just
-    # v_w = 2^rem_w + 1 values; with uniform scalars those buckets hold
-    # ~half/v_w times more points than a full window's, and since the round
-    # loop runs to the GLOBAL max occupancy this skew multiplies the whole
-    # MSM's round count (measured 28x at 2^18/c=10, where the 255-bit
-    # scalar leaves window 25 with 5 bits). Spreading each narrow digit
-    # over K_w = half // v_w slots (slot = d + v_w·(i mod K_w)) rebalances;
-    # the reduction below sums split windows with per-chunk restarting
-    # weights. Split windows are always a suffix of the window range.
-    splits = []  # [(w, v_w, K_w)] for windows that get sub-bucketed
+    splits = []
     for w in range(W):
         rem_w = max(0, min(c, scalar_bits - c * w))
         v_w = (1 << rem_w) + 1
         K_w = max(1, half // v_w)
         if K_w >= 2:
             splits.append((w, v_w, K_w))
+    W_main = splits[0][0] if splits else W
+    return W, half, splits, W_main
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def msm_accumulate(
+    curve: SWCurveSpec,
+    points: AffinePoints,
+    scalars: jnp.ndarray,
+    c: int,
+    scalar_bits: int,
+    state: XYZZPoints,
+) -> XYZZPoints:
+    """Accumulate one point/scalar chunk into the (W, half) bucket state.
+
+    The chunked-MSM building block (reference ChunkedPippenger's
+    add_chunk, ec/src/scalar_mul/variable_base/stream_pippenger.rs:10-70 —
+    but carrying BUCKET state across chunks instead of flushing to a
+    running total, so chunking costs no extra bucket reductions).
+    """
+    f = curve.base
+    L = f.num_limbs
+    n = points.x.shape[1]
+    W, half, splits, _ = _window_geometry(c, scalar_bits)
+
+    digits = signed_digits(curve.scalar, scalars, c, W)  # (W, N) int32
+    mag = jnp.abs(digits)
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (W, n))
+
+    # Tail-window sub-bucket split. Windows past the scalar width span only
+    # rem_w = scalar_bits - c*w leftover bits, so their |digit| takes just
+    # v_w = 2^rem_w + 1 values; with uniform scalars those buckets hold
+    # ~half/v_w times more points than a full window's, and since the round
+    # loop runs to the GLOBAL max occupancy this skew multiplies the whole
+    # MSM's round count (measured 28x at 2^18/c=10, where the 255-bit
+    # scalar leaves window 25 with 5 bits). Spreading each narrow digit
+    # over K_w = half // v_w slots (slot = d + v_w*(i mod K_w)) rebalances;
+    # the reduction sums split windows with per-chunk restarting weights.
     for w, v_w, K_w in splits:
         row = mag[w]
         sub = (iota[0] % K_w) * v_w
         mag = mag.at[w].set(jnp.where(row > 0, row + sub, 0))
-    W_main = splits[0][0] if splits else W  # split windows are a suffix
 
-    # Per-window sort by |digit| (sub-bucket slot id for the top window).
-    # XLA's sort op measures fine on TPU at MSM sizes (12 s compile / 20 ms
-    # run at (26, 2^18)); core/sort.py's bitonic network is the
-    # compile-bounded fallback for shapes where it isn't.
-    keys, sidx = jax.lax.sort_key_val(mag, iota, dimension=1)
-    ssign = jnp.take_along_axis(digits < 0, sidx, axis=1)  # (W, N) bool
+    px, py, pinf = points.x, points.y, points.inf
+
+    # sign and infinity bits ride IN THE SORT PAYLOAD (top bits of the
+    # point index): the sort carries them to sorted order for free, where
+    # a post-sort take_along_axis for sign + a pinf gather would cost two
+    # full (W, N) gathers (~14 ns/element on this TPU — measured 120 ms at
+    # 2^18/c=13, dwarfing the 12 ms sort itself).
+    assert n < (1 << 29)
+    payload = (
+        iota
+        | ((digits < 0).astype(jnp.int32) << 30)
+        | (pinf[None, :].astype(jnp.int32) << 29)
+    )
+    # Per-window sort by |digit| (sub-bucket slot id for split windows).
+    keys, packed = jax.lax.sort_key_val(mag, payload, dimension=1)
 
     # bucket b (1..half) occupies sorted range [S[b-1], S[b]) where
     # S[v-1] = first index with key >= v; S has half+1 entries (v=1..half+1)
     S = _searchsorted_batch(keys, half + 1)  # (W, half+1)
     counts = S[:, 1:] - S[:, :-1]  # (W, half)
     rounds = jnp.max(counts)
-
-    state0 = sw.xyzz_zero(curve, (W, half))
-    px, py, pinf = points.x, points.y, points.inf
-
-    # The round loop is gather-latency-bound (measured 2^22/c=14: ~15 ms of
-    # a 20 ms round in index lookups + coordinate gathers vs 5.5 ms in the
-    # fused add kernel). Two packing tricks halve the gather count:
-    # * sign and infinity ride in the top bits of the sorted index array,
-    #   so ONE take_along_axis per round replaces three;
-    # * x and y are stacked into one (2L, N) array, so ONE coordinate
-    #   gather per round replaces two.
-    assert n < (1 << 29)
-    packed = (
-        sidx
-        | (ssign.astype(jnp.int32) << 30)
-        | (pinf[sidx].astype(jnp.int32) << 29)
-    )  # (W, N)
-    # Coordinate store for the round gathers: x‖y with limb PAIRS packed
-    # into full uint32 words (planar limbs only occupy 16 of 32 bits) —
-    # halves the gathered bytes per round. Unpacked right after the gather.
     assert L % 2 == 0
     pxy = jnp.concatenate([px, py], axis=0)  # (2L, N)
     pxy = pxy[0::2] | (pxy[1::2] << 16)  # (L, N): row k = limbs 2k | 2k+1
 
+    from zkarray.kernels import mont as _km
+
+    if _km.use_pallas((W, half), min_batch=4096):
+        return _round_loop_tiles(curve, packed, pxy, S, rounds, state)
+
+    # XLA fallback: one masked (W, half)-wide mixed add per round.
     def cond(carry):
         return carry[0] < rounds
 
     def body(carry):
-        r, state = carry
+        r, st = carry
         pos = S[:, :-1] + r  # (W, half)
         valid = pos < S[:, 1:]
         posc = jnp.where(valid, pos, 0)
@@ -285,58 +378,113 @@ def msm(
         gx, gy = g[:L], g[L:]
         ginf = ((pk >> 29) & 1).astype(bool) | ~valid
         gy = fp.select(sg.astype(bool), fp.neg(f, gy), gy)
-        state = sw.xyzz_add_affine(curve, state, AffinePoints(gx, gy, ginf))
-        return r + jnp.int32(1), state
+        st = sw.xyzz_add_affine(curve, st, AffinePoints(gx, gy, ginf))
+        return r + jnp.int32(1), st
 
-    _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
+    _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    return state
 
-    # per-window weighted bucket reduction
-    s_chunk = 1 << (int(math.log2(half)) // 2) if half >= 4 else 1
-    if half % s_chunk or s_chunk == 1:
-        s_chunk = half  # tiny windows: single chunk
 
-    def _fold_pairs(parts, k):
-        """Tree-add k pseudo-window partials (coords (L, k)) into one."""
-        while k > 1:
-            h = k // 2
-            lo_p = XYZZPoints(*(v[:, :h] for v in parts))
-            hi_p = XYZZPoints(*(v[:, h : 2 * h] for v in parts))
-            red = sw.xyzz_add(curve, lo_p, hi_p)
-            if k % 2:
-                red = XYZZPoints(
-                    *(
-                        jnp.concatenate([a, v[:, 2 * h :]], axis=1)
-                        for a, v in zip(red, parts)
-                    )
+def _tree_sum_last(curve, P: XYZZPoints) -> XYZZPoints:
+    """Pairwise tree-sum over the LAST axis (log2(B) full-width adds)."""
+    m = P.x.shape[-1]
+    while m > 1:
+        h = m // 2
+        lo = XYZZPoints(*(v[..., :h] for v in P))
+        hi = XYZZPoints(*(v[..., h : 2 * h] for v in P))
+        red = sw.xyzz_add(curve, lo, hi)
+        if m % 2:
+            red = XYZZPoints(
+                *(
+                    jnp.concatenate([a, v[..., 2 * h :]], axis=-1)
+                    for a, v in zip(red, P)
                 )
-                k = h + 1
-            else:
-                k = h
-            parts = red
-        return parts
-
-    if splits:
-        cols = []
-        if W_main:
-            low = XYZZPoints(*(v[:, :W_main] for v in state))
-            cols.append(_weighted_bucket_sum(curve, low, s_chunk))  # (L, W_main)
-        for w, v_w, K_w in splits:
-            # window w: slot d + v_w·k holds bucket d; reshape the used
-            # prefix into K_w pseudo-windows of v_w slots, weight each with
-            # restarting 1..v_w, then fold the K_w partials together.
-            st_w = XYZZPoints(
-                *(v[:, w, : K_w * v_w].reshape(L, K_w, v_w) for v in state)
             )
-            parts = _weighted_bucket_sum(curve, st_w, v_w, restart_weights=True)
-            folded = _fold_pairs(parts, K_w)
-            cols.append(XYZZPoints(*(v[:, :1] for v in folded)))
-        win = XYZZPoints(
-            *(jnp.concatenate(vs, axis=1) for vs in zip(*cols))
-        )
-    else:
-        win = _weighted_bucket_sum(curve, state, s_chunk)  # coords (L, W)
+            m = h + 1
+        else:
+            m = h
+        P = red
+    return P
 
-    # Horner over windows, high→low: total = (total · 2^c) + win_w
+
+def _weighted_sum_bits(
+    curve: SWCurveSpec, state: XYZZPoints, weights: np.ndarray, quad: int = 4
+) -> XYZZPoints:
+    """win_w = sum_j weights[w, j] * state[:, w, j] for a HOST-CONSTANT
+    weight matrix, via bit decomposition: for each weight bit k, tree-sum
+    the buckets whose weight has bit k set, then bit-Horner the per-bit
+    partials. All heavy adds run at full (quad*W, B/2^l) width on the
+    fused kernel — this replaced a serial suffix-scan whose ~450 narrow
+    sequential ops cost 790 ms per MSM (round-4 profile), independent of n.
+    Reference computes the same sum serially (variable_base/mod.rs:477-484).
+    """
+    f = curve.base
+    L = f.num_limbs
+    W, B = weights.shape
+    nbits = int(weights.max()).bit_length()
+    parts = []  # per-bit (L, W) partials, low bit first
+    for k0 in range(0, nbits, quad):
+        ks = list(range(k0, min(k0 + quad, nbits)))
+        q = len(ks)
+        m = np.stack([(weights >> k) & 1 for k in ks]).astype(bool)  # (q, W, B)
+        mj = jnp.asarray(m)
+        sel = XYZZPoints(
+            fp.select(mj, state.x[:, None], fp.one(f, (q, W, B))),
+            fp.select(mj, state.y[:, None], fp.one(f, (q, W, B))),
+            fp.select(mj, state.zz[:, None], fp.zero(f, (q, W, B))),
+            fp.select(mj, state.zzz[:, None], fp.zero(f, (q, W, B))),
+        )
+        summed = _tree_sum_last(curve, sel)  # (L, q, W, 1) -> (L, q, W)
+        summed = XYZZPoints(*(v.reshape(L, q, W) for v in summed))
+        parts.extend(
+            XYZZPoints(*(v[:, i] for v in summed)) for i in range(q)
+        )
+    # bit-Horner, high -> low: acc = 2*acc + T_k, width (W,)
+    acc = parts[-1]
+    for k in range(nbits - 2, -1, -1):
+        acc = sw.xyzz_double(curve, acc)
+        acc = sw.xyzz_add(curve, acc, parts[k])
+    return acc  # coords (L, W)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def msm_reduce(
+    curve: SWCurveSpec, state: XYZZPoints, c: int, scalar_bits: int
+) -> XYZZPoints:
+    """(W, half) bucket state -> final MSM point: weighted bucket sums via
+    host-constant weight bits (split-window aware: split windows just get a
+    restarting weight vector) + Horner across windows (reference
+    variable_base/mod.rs:477-503)."""
+    W, half, splits, _ = _window_geometry(c, scalar_bits)
+
+    weights = np.zeros((W, half), dtype=np.uint32)
+    weights[:] = np.arange(1, half + 1, dtype=np.uint32)[None, :]
+    for w, v_w, K_w in splits:
+        row = np.zeros(half, dtype=np.uint32)
+        used = K_w * v_w
+        row[:used] = (np.arange(used, dtype=np.uint32) % v_w) + 1
+        weights[w] = row
+    win = _weighted_sum_bits(curve, state, weights)  # coords (L, W)
+
+    L = curve.base.num_limbs
+    from zkarray.kernels import mont as _km
+
+    if W > 1 and _km.use_pallas((1,), min_batch=1):
+        # window-Horner chain in one kernel launch (kernels/sw.py): the
+        # ~c*(W-1) serial width-1 doublings cost ~1 ms each as dispatched
+        # XLA ops (~250 ms/MSM, size-independent) vs ~3 ms fused.
+        from zkarray.kernels import sw as ksw
+
+        rows = jnp.concatenate(list(win), axis=0)  # (4L, W)
+        win_rows = jnp.broadcast_to(
+            rows.T[:, :, None, None], (W, 4 * L, 1, 128)
+        )
+        res = ksw.horner_windows(curve, win_rows, W, c)  # (4L, 1, 128)
+        return XYZZPoints(
+            *(res[i * L : (i + 1) * L, 0, 0] for i in range(4))
+        )
+
+    # XLA fallback: Horner over windows, high->low
     def outer(w, tot):
         tot = jax.lax.fori_loop(0, c, lambda _, t: sw.xyzz_double(curve, t), tot)
         w_idx = W - 2 - w
@@ -351,6 +499,99 @@ def msm(
     top = XYZZPoints(*(v[:, W - 1] for v in win))
     total = jax.lax.fori_loop(0, W - 1, outer, top)
     return total
+
+
+def msm(
+    curve: SWCurveSpec,
+    points: AffinePoints,
+    scalars: jnp.ndarray,
+    c: Optional[int] = None,
+    max_scalar_bits: Optional[int] = None,
+) -> XYZZPoints:
+    """Sum of scalars_i * points_i. ``scalars``: canonical limbs (Ls, N).
+
+    Returns a single XYZZ point (batch shape ()); use sw.xyzz_to_affine.
+    Matches VariableBaseMSM::msm (variable_base/mod.rs:437-503) output.
+
+    ``max_scalar_bits`` is the TPU-shaped magnitude specialization
+    (reference msm_signed's +-u8/u16/... width classes,
+    variable_base/mod.rs:242-347): a static bound on every scalar's bit
+    length shrinks the window count W — the compiled kernel does
+    proportionally less work. Use msm_mixed() for per-class dispatch of
+    heterogeneous scalar batches.
+    """
+    n = points.x.shape[1]
+    if c is None:
+        c = default_window_size(n)
+    scalar_bits = curve.scalar.bits
+    if max_scalar_bits is not None:
+        scalar_bits = min(scalar_bits, max_scalar_bits)
+    W, half, _, _ = _window_geometry(c, scalar_bits)
+    state = sw.xyzz_zero(curve, (W, half))
+    state = msm_accumulate(curve, points, scalars, c, scalar_bits, state)
+    return msm_reduce(curve, state, c, scalar_bits)
+
+
+class ChunkedMSM:
+    """Streaming MSM over fixed-size device chunks with carried bucket state.
+
+    Reference analog: ChunkedPippenger (ec/src/scalar_mul/variable_base/
+    stream_pippenger.rs:10-70), which flushes a full Pippenger per chunk
+    and adds the partial into a running total. Here the (W, half) bucket
+    array is the carried state instead, so the per-window bucket reduction
+    and Horner combine are paid ONCE at the end regardless of chunk count —
+    and HBM never needs to hold more than one chunk of points. This is the
+    2^24-2^26 path: a 2^26 BLS12-381 G1 MSM streams 32 chunks of 2^21.
+
+    All chunks must have the same width (pad the last one: infinity points
+    / zero scalars contribute nothing).
+    """
+
+    def __init__(
+        self,
+        curve: SWCurveSpec,
+        chunk_size: int,
+        total_hint: Optional[int] = None,
+        c: Optional[int] = None,
+        max_scalar_bits: Optional[int] = None,
+    ):
+        self.curve = curve
+        self.chunk_size = chunk_size
+        if c is None:
+            # window size follows the CHUNK size: the accumulate phase's
+            # occupancy slack is per-chunk (rounds = chunk/B + tail), while
+            # the bucket reduction — the only term a bigger c would shrink —
+            # is paid once and is cheap after the round-4 reduce rewrite.
+            c = default_window_size(chunk_size)
+        self.c = c
+        self.total_hint = total_hint
+        bits = curve.scalar.bits
+        if max_scalar_bits is not None:
+            bits = min(bits, max_scalar_bits)
+        self.scalar_bits = bits
+        W, half, _, _ = _window_geometry(c, bits)
+        self.state = sw.xyzz_zero(curve, (W, half))
+
+    def add_chunk(self, points: AffinePoints, scalars: jnp.ndarray):
+        """Accumulate one chunk (width == chunk_size; pad shorter chunks)."""
+        n = points.x.shape[1]
+        if n != self.chunk_size:
+            if n > self.chunk_size:
+                raise ValueError("chunk wider than chunk_size")
+            pad = self.chunk_size - n
+            L = self.curve.base.num_limbs
+            points = AffinePoints(
+                jnp.pad(points.x, ((0, 0), (0, pad))),
+                jnp.pad(points.y, ((0, 0), (0, pad))),
+                jnp.pad(points.inf, (0, pad), constant_values=True),
+            )
+            scalars = jnp.pad(scalars, ((0, 0), (0, pad)))
+        self.state = msm_accumulate(
+            self.curve, points, scalars, self.c, self.scalar_bits, self.state
+        )
+
+    def result(self) -> XYZZPoints:
+        return msm_reduce(self.curve, self.state, self.c, self.scalar_bits)
 
 
 def msm_affine(curve, points, scalars, c=None) -> AffinePoints:

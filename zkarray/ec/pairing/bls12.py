@@ -203,45 +203,72 @@ def multi_miller_loop(bspec: Bls12Spec, P: AffinePoints, Qp: G2Prepared,
 # bls12/mod.rs:89-157)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnums=0)
 def _cyclotomic_exp_x(bspec, f):
     """f^|X| with Granger–Scott cyclotomic squarings (input is in the
     cyclotomic subgroup after the easy part), then conjugate if X < 0
-    (reference exp_by_x + CyclotomicMultSubgroup::cyclotomic_exp)."""
+    (reference exp_by_x + CyclotomicMultSubgroup::cyclotomic_exp).
+
+    Jitted ON ITS OWN: final_exponentiation calls it five times, and as one
+    inlined graph XLA:CPU hits its 'Very slow compile' path (measured
+    round 4: the whole-final-exp graph was the single largest compile in
+    the test suite). Split out, the |X|-scan compiles once and is reused.
+    """
     F12 = bspec.fq12
     r = cyc.cyclotomic_exp_binary(F12, f, bspec.x_abs)
     return F12.conjugate(r) if bspec.x_neg else r
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def final_exponentiation(bspec: Bls12Spec, f):
+def _fe_easy(bspec: Bls12Spec, f):
+    """Easy part f^((p^6-1)(p^2+1)) — contains the one Fp12 inversion."""
     F12 = bspec.fq12
-    # easy part: f^((p^6-1)(p^2+1))
     f1 = F12.conjugate(f)          # f^(p^6)
     f2 = F12.inv(f)                # f^(-1)
     r = F12.mul(f1, f2)            # f^(p^6 - 1)
     f2 = r
     r = F12.frobenius(r, 2)
-    r = F12.mul(r, f2)             # f^((p^6-1)(p^2+1))
-    # hard part (gurvy schedule)
+    return F12.mul(r, f2)          # f^((p^6-1)(p^2+1))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fe_hard_glue(bspec: Bls12Spec, r, y1a, y2b, y2c, y2d, y2e):
+    """The non-exp_by_x steps of the gurvy hard part, given the five
+    exp_by_x results (see final_exponentiation for the wiring)."""
+    F12 = bspec.fq12
     y0 = cyc.cyclotomic_sqr(F12, r)
-    y1 = _cyclotomic_exp_x(bspec, r)
-    y2 = F12.conjugate(r)
-    y1 = F12.mul(y1, y2)
-    y2 = _cyclotomic_exp_x(bspec, y1)
-    y1 = F12.conjugate(y1)
-    y1 = F12.mul(y1, y2)
-    y2 = _cyclotomic_exp_x(bspec, y1)
-    y1 = F12.frobenius(y1, 1)
-    y1 = F12.mul(y1, y2)
+    y1 = F12.mul(y1a, F12.conjugate(r))
+    y1 = F12.mul(F12.conjugate(y1), y2b)
+    y1f = F12.frobenius(y1, 1)
+    y1n = F12.mul(y1f, y2c)
     r = F12.mul(r, y0)
-    y0 = _cyclotomic_exp_x(bspec, y1)
-    y2 = _cyclotomic_exp_x(bspec, y0)
-    y0 = F12.frobenius(y1, 2)
-    y1 = F12.conjugate(y1)
-    y1 = F12.mul(y1, y2)
-    y1 = F12.mul(y1, y0)
-    r = F12.mul(r, y1)
-    return r
+    y0 = F12.frobenius(y1n, 2)
+    y1c = F12.conjugate(y1n)
+    y1x = F12.mul(y1c, y2e)
+    y1x = F12.mul(y1x, y0)
+    return F12.mul(r, y1x)
+
+
+def final_exponentiation(bspec: Bls12Spec, f):
+    """eprint 2020/875 (gurvy schedule), reference bls12/mod.rs:89-157.
+
+    Deliberately NOT one jit: the five f^|X| scans share ONE compiled
+    _cyclotomic_exp_x; the remaining ~12 tower ops are two small jits.
+    The interleaving below reproduces the original schedule exactly:
+    y1a = r^x; y2b = (y1a·r̄)^x; y2c = (conj(y1a·r̄)·y2b)^x; then with
+    y1n = frob(·)·y2c: y2d = y1n^x, y2e = y2d^x.
+    """
+    F12 = bspec.fq12
+    r = _fe_easy(bspec, f)
+    y1a = _cyclotomic_exp_x(bspec, r)
+    y1_mid = F12.mul(y1a, F12.conjugate(r))
+    y2b = _cyclotomic_exp_x(bspec, y1_mid)
+    y1_mid2 = F12.mul(F12.conjugate(y1_mid), y2b)
+    y2c = _cyclotomic_exp_x(bspec, y1_mid2)
+    y1n = F12.mul(F12.frobenius(y1_mid2, 1), y2c)
+    y2d = _cyclotomic_exp_x(bspec, y1n)
+    y2e = _cyclotomic_exp_x(bspec, y2d)
+    return _fe_hard_glue(bspec, r, y1a, y2b, y2c, y2d, y2e)
 
 
 def pairing(bspec: Bls12Spec, P: AffinePoints, Q: ExtAffine):

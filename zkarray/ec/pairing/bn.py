@@ -140,32 +140,41 @@ def multi_miller_loop(bspec: BnSpec, P: AffinePoints, Qp: BnG2Prepared,
     return f[..., 0]
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def _exp_by_neg_x(bspec: BnSpec, f):
     """f^{-X} with Granger–Scott cyclotomic squarings (reference
-    Bn::exp_by_neg_x via CyclotomicMultSubgroup)."""
+    Bn::exp_by_neg_x via CyclotomicMultSubgroup). Jitted on its own so the
+    three call sites share ONE compiled |X|-scan instead of inlining three
+    copies into the final-exp graph (XLA:CPU 'Very slow compile' otherwise —
+    same split as bls12._cyclotomic_exp_x)."""
     F12 = bspec.fq12
     r = cyc.cyclotomic_exp_binary(F12, f, bspec.x_abs)
     return r if bspec.x_neg else F12.conjugate(r)
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def final_exponentiation(bspec: BnSpec, f):
-    """Easy part + Fuentes-Castañeda hard part (reference bn/mod.rs:107-166)."""
+def _fe_easy(bspec: BnSpec, f):
     F12 = bspec.fq12
     f1 = F12.conjugate(f)
     f2 = F12.inv(f)
     r = F12.mul(f1, f2)
     f2 = r
     r = F12.frobenius(r, 2)
-    r = F12.mul(r, f2)
+    return F12.mul(r, f2)
 
-    y0 = _exp_by_neg_x(bspec, r)
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fe_prep1(bspec: BnSpec, y0):
+    """y3 = y2·y1 with y1 = y0², y2 = y1² (between the first two exp_x)."""
+    F12 = bspec.fq12
     y1 = cyc.cyclotomic_sqr(F12, y0)
     y2 = cyc.cyclotomic_sqr(F12, y1)
-    y3 = F12.mul(y2, y1)
-    y4 = _exp_by_neg_x(bspec, y3)
-    y5 = cyc.cyclotomic_sqr(F12, y4)
-    y6 = _exp_by_neg_x(bspec, y5)
+    return F12.mul(y2, y1), y1
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fe_hard_glue(bspec: BnSpec, r, y1, y3, y4, y6):
+    F12 = bspec.fq12
     y3 = F12.conjugate(y3)
     y6 = F12.conjugate(y6)
     y7 = F12.mul(y6, y4)
@@ -182,6 +191,19 @@ def final_exponentiation(bspec: BnSpec, f):
     y15 = F12.frobenius(y15, 3)
     y16 = F12.mul(y15, y14)
     return y16
+
+
+def final_exponentiation(bspec: BnSpec, f):
+    """Easy part + Fuentes-Castañeda hard part (reference bn/mod.rs:107-166).
+    Split into small jits sharing one compiled exp_by_neg_x (see above)."""
+    F12 = bspec.fq12
+    r = _fe_easy(bspec, f)
+    y0 = _exp_by_neg_x(bspec, r)
+    y3, y1 = _fe_prep1(bspec, y0)
+    y4 = _exp_by_neg_x(bspec, y3)
+    y5 = cyc.cyclotomic_sqr(F12, y4)
+    y6 = _exp_by_neg_x(bspec, y5)
+    return _fe_hard_glue(bspec, r, y1, y3, y4, y6)
 
 
 def pairing(bspec: BnSpec, P: AffinePoints, Q: ExtAffine):

@@ -25,24 +25,45 @@ def msm_chunks(
     chunk_iter: Iterable[Tuple[AffinePoints, jnp.ndarray]],
     c: Optional[int] = None,
 ) -> XYZZPoints:
-    """MSM over a stream of (points, scalars) chunks; partials combined in
-    XYZZ (reference msm_chunks)."""
-    total = None
+    """MSM over a stream of (points, scalars) chunks (reference msm_chunks,
+    variable_base/mod.rs:119-150).
+
+    Device pipeline: chunks at most as wide as the first are accumulated
+    into ONE carried (W, half) bucket state (msm.ChunkedMSM — bucket
+    reduction paid once at the end); an occasional wider chunk falls back
+    to a standalone MSM whose partial is XYZZ-added in.
+    """
+    cm = None
+    extra = None
     for pts, scalars in chunk_iter:
-        part = msm_mod.msm(curve, pts, scalars, c)
-        if total is None:
-            total = part
+        n = pts.x.shape[1]
+        if cm is None:
+            cm = msm_mod.ChunkedMSM(curve, chunk_size=n, c=c)
+        if n <= cm.chunk_size:
+            cm.add_chunk(pts, scalars)
+            continue
+        part = msm_mod.msm(curve, pts, scalars, cm.c)
+        if extra is None:
+            extra = part
         else:
             e = lambda s: s.reshape(s.shape + (1,))
             merged = sw.xyzz_add(
                 curve,
-                XYZZPoints(*(e(s) for s in total)),
+                XYZZPoints(*(e(s) for s in extra)),
                 XYZZPoints(*(e(s) for s in part)),
             )
-            total = XYZZPoints(*(s[..., 0] for s in merged))
-    if total is None:
-        z = sw.xyzz_zero(curve, ())
-        return z
+            extra = XYZZPoints(*(s[..., 0] for s in merged))
+    if cm is None:
+        return sw.xyzz_zero(curve, ())
+    total = cm.result()
+    if extra is not None:
+        e = lambda s: s.reshape(s.shape + (1,))
+        merged = sw.xyzz_add(
+            curve,
+            XYZZPoints(*(e(s) for s in total)),
+            XYZZPoints(*(e(s) for s in extra)),
+        )
+        total = XYZZPoints(*(s[..., 0] for s in merged))
     return total
 
 

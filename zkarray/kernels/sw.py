@@ -277,3 +277,147 @@ def xyzz_accum_tiles(curve, state, coords, pk, T: int):
         input_output_aliases={0: 0},
         interpret=km.interpret_mode(),
     )(state, coords, pk)
+
+
+# ---------------------------------------------------------------------------
+# MSM finisher: bit-Horner + window-Horner chain in ONE kernel launch
+# ---------------------------------------------------------------------------
+
+def _dbl_core(L, p_limbs, inv16, one_m, a_limbs, st):
+    """Full XYZZ doubling (dbl-2008-s-1), edge-complete: infinity or
+    y == 0 -> infinity. Mirrors sw.xyzz_double bit-for-bit."""
+    mul = lambda u, v: km._mul_body(L, p_limbs, inv16, jnp.stack(u), jnp.stack(v))
+    sqr = lambda u: km._sqr_body(L, p_limbs, inv16, jnp.stack(u))
+    add = lambda u, v: km._add_body(L, p_limbs, u, v)
+    sub = lambda u, v: km._sub_body(L, p_limbs, u, v)
+
+    X1, Y1, ZZ1, ZZZ1 = st
+    U = add(Y1, Y1)
+    V = sqr(U)
+    Wr = mul(U, V)
+    S = mul(X1, V)
+    XX = sqr(X1)
+    M = add(add(XX, XX), XX)
+    if a_limbs is not None:
+        a_rows = [jnp.full_like(X1[0], np.uint32(l)) for l in a_limbs]
+        M = add(M, mul(a_rows, sqr(ZZ1)))
+    X3 = sub(sqr(M), add(S, S))
+    Y3 = sub(mul(M, sub(S, X3)), mul(Wr, Y1))
+    ZZ3 = mul(V, ZZ1)
+    ZZZ3 = mul(Wr, ZZZ1)
+    bad = _is_zero(ZZ1) | _is_zero(Y1)
+    zero = [jnp.zeros_like(X1[0])] * L
+    one = [jnp.full_like(X1[0], np.uint32(l)) for l in one_m]
+    return (
+        _sel(bad, one, X3),
+        _sel(bad, one, Y3),
+        _sel(bad, zero, ZZ3),
+        _sel(bad, zero, ZZZ3),
+    )
+
+
+def _fadd_core(L, p_limbs, inv16, one_m, a_limbs, st, st2):
+    """Full XYZZ + XYZZ (add-2008-s), edge-complete (doubling, cancel,
+    either infinity). Mirrors sw.xyzz_add bit-for-bit."""
+    mul = lambda u, v: km._mul_body(L, p_limbs, inv16, jnp.stack(u), jnp.stack(v))
+    sqr = lambda u: km._sqr_body(L, p_limbs, inv16, jnp.stack(u))
+    add = lambda u, v: km._add_body(L, p_limbs, u, v)
+    sub = lambda u, v: km._sub_body(L, p_limbs, u, v)
+
+    X1, Y1, ZZ1, ZZZ1 = st
+    X2, Y2, ZZ2, ZZZ2 = st2
+    U1 = mul(X1, ZZ2)
+    U2 = mul(X2, ZZ1)
+    S1 = mul(Y1, ZZZ2)
+    S2 = mul(Y2, ZZZ1)
+    Pp = sub(U2, U1)
+    R = sub(S2, S1)
+    PP = sqr(Pp)
+    PPP = mul(Pp, PP)
+    Q = mul(U1, PP)
+    X3 = sub(sub(sqr(R), PPP), add(Q, Q))
+    Y3 = sub(mul(R, sub(Q, X3)), mul(S1, PPP))
+    ZZ3 = mul(mul(ZZ1, ZZ2), PP)
+    ZZZ3 = mul(mul(ZZZ1, ZZZ2), PPP)
+
+    p0 = _is_zero(Pp)
+    r0 = _is_zero(R)
+    p_inf = _is_zero(ZZ1)
+    q_inf = _is_zero(ZZ2)
+    both = ~p_inf & ~q_inf
+
+    dX, dY, dZZ, dZZZ = _dbl_core(L, p_limbs, inv16, one_m, a_limbs, st)
+    zero = [jnp.zeros_like(X1[0])] * L
+    one = [jnp.full_like(X1[0], np.uint32(l)) for l in one_m]
+
+    is_dbl = both & p0 & r0
+    is_cancel = both & p0 & ~r0
+    X3 = _sel(is_dbl, dX, X3)
+    Y3 = _sel(is_dbl, dY, Y3)
+    ZZ3 = _sel(is_dbl, dZZ, ZZ3)
+    ZZZ3 = _sel(is_dbl, dZZZ, ZZZ3)
+    X3 = _sel(is_cancel, one, X3)
+    Y3 = _sel(is_cancel, one, Y3)
+    ZZ3 = _sel(is_cancel, zero, ZZ3)
+    ZZZ3 = _sel(is_cancel, zero, ZZZ3)
+    X3 = _sel(p_inf, X2, X3)
+    Y3 = _sel(p_inf, Y2, Y3)
+    ZZ3 = _sel(p_inf, ZZ2, ZZ3)
+    ZZZ3 = _sel(p_inf, ZZZ2, ZZZ3)
+    X3 = _sel(q_inf, X1, X3)
+    Y3 = _sel(q_inf, Y1, Y3)
+    ZZ3 = _sel(q_inf, ZZ1, ZZ3)
+    ZZZ3 = _sel(q_inf, ZZZ1, ZZZ3)
+    return X3, Y3, ZZ3, ZZZ3
+
+
+def horner_windows(curve, win_rows, W: int, c: int):
+    """total = sum_w 2^(c*w) * win_w in ONE kernel launch.
+
+    The window-Horner tail is inherently serial (~c*(W-1) doublings — the
+    reference walks it serially too, variable_base/mod.rs:496-503); on the
+    XLA path each width-1 double was a dispatched scan (~1 ms each,
+    ~250 ms/MSM regardless of n). Here the whole chain runs in-VMEM:
+    measured ~3 ms.
+
+    win_rows: (W, 4L, 1, 128) uint32 — window w's X||Y||ZZ||ZZZ limb rows,
+    each replicated across lanes. Returns (4L, 1, 128); lane 0 holds the
+    result limbs.
+    """
+    f = curve.base
+    L = f.num_limbs
+    p_limbs, inv16, one_m, a_limbs = _consts(curve)
+
+    def kernel(w_ref, o_ref):
+        top = w_ref[W - 1]  # (4L, 1, 128)
+        st = tuple(
+            tuple(top[i * L + k] for k in range(L)) for i in range(4)
+        )
+
+        def outer(wi, st):
+            def dbl(_, s):
+                return tuple(
+                    tuple(r for r in rows)
+                    for rows in _dbl_core(L, p_limbs, inv16, one_m, a_limbs, s)
+                )
+
+            st = jax.lax.fori_loop(0, c, dbl, st)
+            nxt = w_ref[W - 2 - wi]
+            st2 = tuple(
+                tuple(nxt[i * L + k] for k in range(L)) for i in range(4)
+            )
+            out = _fadd_core(L, p_limbs, inv16, one_m, a_limbs, st, st2)
+            return tuple(tuple(r for r in rows) for rows in out)
+
+        st = jax.lax.fori_loop(0, W - 1, outer, st)
+        for i in range(4):
+            for k in range(L):
+                o_ref[i * L + k] = st[i][k]
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((4 * L, 1, 128), jnp.uint32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=km.interpret_mode(),
+    )(win_rows)

@@ -60,6 +60,52 @@ def distribute_powers(spec: FieldSpec, arr: jnp.ndarray, c_int: int) -> jnp.ndar
     return fp.mont_mul(spec, arr, power_table(spec, c_int, n))
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def twiddle_table(spec: FieldSpec, w_int: int, n1: int, n2: int) -> jnp.ndarray:
+    """(L, n1, n2) table T[k1, i2] = w^{k1·i2} in n1·n2 field muls.
+
+    Log-depth doubling over the k1 axis with a VECTOR base b[i2] = w^{i2}:
+    T_{2m} = [T_m, T_m · b^m] — no O(n)-element gather (an index-built
+    table costs ~9 ns/element on this TPU's gather engine; at 2^24 that is
+    150 ms of pure index overhead vs one extra mul pass here)."""
+    base = power_table(spec, w_int, n2)  # (L, n2)
+    T = fp.one(spec, (1, n2))
+    bpow = base[:, None, :]
+    m = 1
+    while m < n1:
+        T = jnp.concatenate(
+            [T, fp.mont_mul(spec, T[:, : n1 - m], bpow)], axis=1
+        )
+        bpow = fp.mont_sqr(spec, bpow)
+        m *= 2
+    return T
+
+
+# Above this size the flat radix-2 ladder's early stages slice the minor
+# (lane) axis at widths < 128 — measured lane-misaligned copies dominate.
+# The four-step split keeps every butterfly's minor axis >= sqrt(n)/2.
+FOURSTEP_MIN = 1 << 16
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def fft_fourstep_core(
+    spec: FieldSpec, x: jnp.ndarray, n1: int, n2: int, w_int: int,
+    scale_int: Optional[int] = None,
+) -> jnp.ndarray:
+    """Single-device four-step (Bailey) NTT: (L, n) flat, i = i1·n2 + i2 →
+    (L, n) natural order. Reference: the cache-blocked view of
+    poly/src/domain/radix2/fft.rs:213-295's stage ladder."""
+    L = x.shape[0]
+    n = n1 * n2
+    p = spec.modulus
+    A = x.reshape(L, n1, n2)
+    B = _fft_core(spec, A, n1, pow(w_int, n2, p), None)  # over i1, rest (n2,)
+    C = fp.mont_mul(spec, B, twiddle_table(spec, w_int, n1, n2))
+    Ct = C.transpose(0, 2, 1)  # (L, n2, n1)
+    E = _fft_core(spec, Ct, n2, pow(w_int, n1, p), scale_int)  # [k2, k1]
+    return E.reshape(L, n)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def _fft_core(
     spec: FieldSpec, arr: jnp.ndarray, n: int, w_int: int, scale_int: Optional[int]
@@ -141,6 +187,11 @@ class Radix2Domain:
             coeffs = jnp.pad(coeffs, ((0, 0), (0, n - m)))
         if self.offset_int != 1:
             coeffs = distribute_powers(spec, coeffs, self.offset_int)
+        if n >= FOURSTEP_MIN:
+            n1 = 1 << ((n.bit_length() - 1) // 2)
+            return fft_fourstep_core(
+                spec, coeffs, n1, n // n1, self.group_gen_int, None
+            )
         return _fft_core(spec, coeffs, n, self.group_gen_int, None)
 
     def _degree_aware_fft(self, coeffs: jnp.ndarray, m2: int) -> jnp.ndarray:
@@ -172,7 +223,16 @@ class Radix2Domain:
         spec, n = self.spec, self.size
         if evals.shape[1] != n:
             raise ValueError("evaluation count must equal domain size")
-        out = _fft_core(spec, evals, n, self.group_gen_inv_int, self.size_inv_int)
+        if n >= FOURSTEP_MIN:
+            n1 = 1 << ((n.bit_length() - 1) // 2)
+            out = fft_fourstep_core(
+                spec, evals, n1, n // n1, self.group_gen_inv_int,
+                self.size_inv_int,
+            )
+        else:
+            out = _fft_core(
+                spec, evals, n, self.group_gen_inv_int, self.size_inv_int
+            )
         if self.offset_int != 1:
             out = distribute_powers(spec, out, self.offset_inv_int)
         return out
