@@ -172,8 +172,13 @@ def _fe_prep1(bspec: BnSpec, y0):
     return F12.mul(y2, y1), y1
 
 
-@functools.partial(jax.jit, static_argnums=0)
 def _fe_hard_glue(bspec: BnSpec, r, y1, y3, y4, y6):
+    """Deliberately NOT one jit: XLA:CPU deterministically segfaults
+    serializing this executable for the persistent compilation cache
+    (measured round 4, jax 0.9: `executable.serialize()` crash in
+    compilation_cache.put_executable_and_time — BN254 glue only; the
+    BLS12-381 twin is fine). Eagerly dispatched tower ops sidestep it at
+    ~ms cost on a once-per-pairing tail."""
     F12 = bspec.fq12
     y3 = F12.conjugate(y3)
     y6 = F12.conjugate(y6)

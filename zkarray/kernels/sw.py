@@ -54,11 +54,18 @@ def _consts(curve):
     return p_limbs, inv16, one_m, a_limbs
 
 
-def _madd_core(L, p_limbs, inv16, one_m, a_limbs, st, AX, AY, a_inf):
+def _madd_core(L, p_limbs, inv16, one_m, a_limbs, st, AX, AY, a_inf,
+               lazy_dbl=False):
     """One fused XYZZ += affine step on limb-row lists (mmadd-xyzz +
     branchless mdbl-2008-s-1 / identity edges). ``st`` = (X1, Y1, ZZ1, ZZZ1)
     row lists; returns the new row lists. Shared by the elementwise kernel
-    and the MSM tile-accumulation kernel."""
+    and the MSM tile-accumulation kernel.
+
+    ``lazy_dbl``: compute the doubling-edge candidate under a BLOCK-level
+    lax.cond — in MSM bucket accumulation the P == A case needs a duplicate
+    point meeting its own bucket singleton, so almost every block skips the
+    ~6 extra mul-equivalents (measured: the dense candidate was 25% of the
+    accumulation kernel's 24 ns/add)."""
     mul = lambda u, v: km._mul_body(L, p_limbs, inv16, jnp.stack(u), jnp.stack(v))
     sqr = lambda u: km._sqr_body(L, p_limbs, inv16, jnp.stack(u))
     add = lambda u, v: km._add_body(L, p_limbs, u, v)
@@ -83,27 +90,42 @@ def _madd_core(L, p_limbs, inv16, one_m, a_limbs, st, AX, AY, a_inf):
     p_inf = _is_zero(ZZ1)
     both = ~p_inf & ~a_inf
 
-    # doubling edge candidate (mdbl-2008-s-1)
-    U = add(AY, AY)
-    V = sqr(U)
-    Wr = mul(U, V)
-    S = mul(AX, V)
-    XX = sqr(AX)
-    M = add(add(XX, XX), XX)
-    if a_limbs is not None:
-        M = add(M, [jnp.full_like(AX[0], np.uint32(l)) for l in a_limbs])
-    X3d = sub(sqr(M), add(S, S))
-    Y3d = sub(mul(M, sub(S, X3d)), mul(Wr, AY))
-    dbl_bad = a_inf | _is_zero(AY)
-    zero = [jnp.zeros_like(AX[0])] * L
-    one = [jnp.full_like(AX[0], np.uint32(l)) for l in one_m]
-    Xd = _sel(dbl_bad, one, X3d)
-    Yd = _sel(dbl_bad, one, Y3d)
-    ZZd = _sel(dbl_bad, zero, V)
-    ZZZd = _sel(dbl_bad, zero, Wr)
-
     is_dbl = both & p0 & r0
     is_cancel = both & p0 & ~r0
+
+    zero = [jnp.zeros_like(AX[0])] * L
+    one = [jnp.full_like(AX[0], np.uint32(l)) for l in one_m]
+
+    def dbl_candidate(_):
+        # doubling edge candidate (mdbl-2008-s-1)
+        U = add(AY, AY)
+        V = sqr(U)
+        Wr = mul(U, V)
+        S = mul(AX, V)
+        XX = sqr(AX)
+        M = add(add(XX, XX), XX)
+        if a_limbs is not None:
+            M = add(M, [jnp.full_like(AX[0], np.uint32(l)) for l in a_limbs])
+        X3d = sub(sqr(M), add(S, S))
+        Y3d = sub(mul(M, sub(S, X3d)), mul(Wr, AY))
+        dbl_bad = a_inf | _is_zero(AY)
+        return (
+            tuple(_sel(dbl_bad, one, X3d)),
+            tuple(_sel(dbl_bad, one, Y3d)),
+            tuple(_sel(dbl_bad, zero, V)),
+            tuple(_sel(dbl_bad, zero, Wr)),
+        )
+
+    if lazy_dbl:
+        Xd, Yd, ZZd, ZZZd = jax.lax.cond(
+            jnp.any(is_dbl),
+            dbl_candidate,
+            lambda _: (tuple(one), tuple(one), tuple(zero), tuple(zero)),
+            None,
+        )
+        Xd, Yd, ZZd, ZZZd = list(Xd), list(Yd), list(ZZd), list(ZZZd)
+    else:
+        Xd, Yd, ZZd, ZZZd = dbl_candidate(None)
 
     X3 = _sel(is_dbl, Xd, X3)
     Y3 = _sel(is_dbl, Yd, Y3)
@@ -245,7 +267,8 @@ def xyzz_accum_tiles(curve, state, coords, pk, T: int):
             AYn = km._sub_body(L, p_limbs, zero, AY)  # (p - y) mod p
             AY = _sel(sign, AYn, AY)
             X3, Y3, ZZ3, ZZZ3 = _madd_core(
-                L, p_limbs, inv16, one_m, a_limbs, st, AX, AY, a_inf
+                L, p_limbs, inv16, one_m, a_limbs, st, AX, AY, a_inf,
+                lazy_dbl=True,
             )
             return tuple(X3), tuple(Y3), tuple(ZZ3), tuple(ZZZ3)
 
