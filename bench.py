@@ -323,7 +323,7 @@ def main():
     ap.add_argument("--budget-s", type=float,
                     default=float(os.environ.get("ZKARRAY_BENCH_BUDGET_S", 1200)))
     ap.add_argument("--msm-log-n", type=int, default=18)
-    ap.add_argument("--ntt-log-n", type=int, default=20)
+    ap.add_argument("--ntt-log-n", type=int, default=24)  # north-star size
     ap.add_argument("--worker", default=None,
                     choices=[None, "probe", "msm", "msmc", "ntt", "roofline"])
     ap.add_argument("--log-n", type=int, default=0)
@@ -390,8 +390,12 @@ def main():
         attempt("probe", 0, cap=240, floor=60)
         bank_msm(attempt("msm", 16, cap=480, env=xla))
 
-    # 3. NTT at the north-star size (2^24), fallback 2^20
+    # 3. NTT ladder: north-star 2^24 (known to exceed this chip's ~3 GB
+    #    effective HBM — single-array copies are 1 GB; the sharded four-step
+    #    is the designed path at that size), then 2^22, then 2^20.
     ntt = attempt("ntt", args.ntt_log_n, cap=600)
+    if not ntt:
+        ntt = attempt("ntt", 22, cap=420)
     if not ntt:
         ntt = attempt("ntt", 20, cap=300)
 

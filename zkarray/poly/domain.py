@@ -94,13 +94,37 @@ def fft_fourstep_core(
 ) -> jnp.ndarray:
     """Single-device four-step (Bailey) NTT: (L, n) flat, i = i1·n2 + i2 →
     (L, n) natural order. Reference: the cache-blocked view of
-    poly/src/domain/radix2/fft.rs:213-295's stage ladder."""
+    poly/src/domain/radix2/fft.rs:213-295's stage ladder.
+
+    HBM discipline (2^24 = 1 GB per array copy on this chip): the
+    k1-twiddle multiply runs chunked in-place over a fori_loop carry —
+    building the full (L, n1, n2) table OOM'd the v5-lite HBM (measured
+    round 4)."""
     L = x.shape[0]
     n = n1 * n2
     p = spec.modulus
     A = x.reshape(L, n1, n2)
     B = _fft_core(spec, A, n1, pow(w_int, n2, p), None)  # over i1, rest (n2,)
-    C = fp.mont_mul(spec, B, twiddle_table(spec, w_int, n1, n2))
+
+    # C[k1, i2] = B[k1, i2] · w^{k1·i2}, chunked over k1 (CH chunks): the
+    # chunk's twiddle block T[k1] = base^{k1} advances by ∘ w^{m·i2} between
+    # chunks; updates land in-place in the donated carry.
+    CH = 8 if n1 % 8 == 0 and n1 >= 64 else 1
+    m = n1 // CH
+    T0 = twiddle_table(spec, w_int, m, n2)  # (L, m, n2), n/CH elements
+    step = power_table(spec, pow(w_int, m, p), n2)[:, None, :]  # w^{m·i2}
+
+    def body(c, carry):
+        Bc, Tc = carry
+        blk = jax.lax.dynamic_slice(Bc, (0, c * m, 0), (L, m, n2))
+        blk = fp.mont_mul(spec, blk, Tc)
+        Bc = jax.lax.dynamic_update_slice(Bc, blk, (0, c * m, 0))
+        return Bc, fp.mont_mul(spec, Tc, step)
+
+    if CH == 1:
+        C = fp.mont_mul(spec, B, twiddle_table(spec, w_int, n1, n2))
+    else:
+        C, _ = jax.lax.fori_loop(0, CH, body, (B, T0))
     Ct = C.transpose(0, 2, 1)  # (L, n2, n1)
     E = _fft_core(spec, Ct, n2, pow(w_int, n1, p), scale_int)  # [k2, k1]
     return E.reshape(L, n)
