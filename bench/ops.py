@@ -63,7 +63,8 @@ def bench_field(spec, n, results, prefix):
     L = spec.num_limbs
     a = jnp.asarray(rng.integers(0, 1 << 16, size=(L, n), dtype=np.uint32))
     b = jnp.asarray(rng.integers(1, 1 << 16, size=(L, n), dtype=np.uint32))
-    K = 8
+    K = 16  # chains amortize the ~46 ms axon dispatch round-trip;
+    # much longer chains hit pathological XLA compile times (round 4)
     cases = {
         "add": lambda x: fp.add(spec, x, b),
         "sub": lambda x: fp.sub(spec, x, b),
@@ -88,7 +89,7 @@ def bench_group(curve, n, results, prefix):
     x = jnp.asarray(rng.integers(0, 1 << 16, size=(L, n), dtype=np.uint32))
     P = sw.XYZZPoints(x, x, x, x)
     A = sw.AffinePoints(x, x, jnp.zeros(n, dtype=bool))
-    K = 4
+    K = 8
     dt = _time(_chain(lambda Q: sw.xyzz_add_affine(curve, Q, A), P, K), P)
     results[f"{prefix}_mixed_add_per_s"] = round(K * n / dt, 1)
     dt = _time(_chain(lambda Q: sw.xyzz_double(curve, Q), P, K), P)

@@ -117,3 +117,23 @@ def test_fourstep_matches_flat_ladder():
     assert np.array_equal(np.asarray(got), np.asarray(want))
     back = dom.ifft(got)
     assert np.array_equal(np.asarray(back), np.asarray(a))
+
+
+def test_fourstep_big_matches_flat_ladder():
+    """Chunked-execution four-step (fft_fourstep_big, the >=2^23 HBM path)
+    is bit-identical to the flat ladder, exercised at a small size."""
+    import numpy as np
+    import jax.numpy as jnp
+    from zkarray.poly import domain as dm
+
+    spec = bn254.FR
+    n = 1 << 14
+    n1 = 1 << 7
+    dom = Radix2Domain(spec, n)
+    rng = np.random.default_rng(12)
+    limbs = rng.integers(0, 1 << 16, size=(spec.num_limbs, n), dtype=np.uint32)
+    limbs[-1] >>= 4
+    a = jnp.asarray(limbs)
+    got = dm.fft_fourstep_big(spec, a, n1, n // n1, dom.group_gen_int, None)
+    want = dm._fft_core(spec, a, n, dom.group_gen_int, None)
+    assert np.array_equal(np.asarray(got), np.asarray(want))

@@ -73,7 +73,7 @@ class GTGroup:
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def mul_scalar(gt: GTGroup, a, scalars: jnp.ndarray):
+def gt_mul_scalar(gt: GTGroup, a, scalars: jnp.ndarray):
     """a · s for device scalars (canonical limbs (Ls, *batch)) — a
     double-and-add ladder over the scalar bits (reference
     pairing.rs:237-252 mul_bigint)."""
@@ -97,7 +97,7 @@ def mul_scalar(gt: GTGroup, a, scalars: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
-def msm(gt: GTGroup, points, scalars: jnp.ndarray, c: int = 4):
+def gt_msm(gt: GTGroup, points, scalars: jnp.ndarray, c: int = 4):
     """Σ scalars_i · points_i over GT — windowed Pippenger with one-hot
     bucket accumulation (bucket count 2^c is small; the GT batch axis is the
     last coefficient axis). ``points``: target-field stack with trailing
@@ -160,3 +160,10 @@ def msm(gt: GTGroup, points, scalars: jnp.ndarray, c: int = 4):
     for w in range(W):
         total = win_body(w, total)
     return total
+
+
+# Public names; the gt_-prefixed jit identities keep their persistent-cache
+# module names on zkarray/jaxcache.py's serialize-crash denylist (the
+# BN254 Fp12 scan-ladder executables are the observed crash class).
+mul_scalar = gt_mul_scalar
+msm = gt_msm

@@ -16,6 +16,8 @@ are batched over planar limb arrays like the rest of the tower layer.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,10 +111,16 @@ def find_naf(e: int):
     return digits
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def cyclotomic_exp(ext, f, e: int):
     """f^e for static e ≥ 0 via a lax.scan NAF ladder with cyclotomic
     squarings and conjugate-for-negative-digit (reference
-    cyclotomic.rs:77-124). ``f`` must be in the cyclotomic subgroup."""
+    cyclotomic.rs:77-124). ``f`` must be in the cyclotomic subgroup.
+
+    Jitted so its persistent-cache entry carries the function name: the
+    eager scan's cache write deterministically segfaulted
+    executable.serialize() (round 4) and the jaxcache denylist keys on
+    module names."""
     if e == 0:
         return ext.one(ext.batch_shape_of(f))
     batch = ext.batch_shape_of(f)
@@ -135,6 +143,7 @@ def cyclotomic_exp(ext, f, e: int):
     return r
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def cyclotomic_exp_binary(ext, f, e: int):
     """f^e via plain binary square-and-multiply with cyclotomic squarings —
     1 mul/bit in the scan body (cheaper than the NAF ladder's 2 under XLA's

@@ -85,6 +85,9 @@ def twiddle_table(spec: FieldSpec, w_int: int, n1: int, n2: int) -> jnp.ndarray:
 # (lane) axis at widths < 128 — measured lane-misaligned copies dominate.
 # The four-step split keeps every butterfly's minor axis >= sqrt(n)/2.
 FOURSTEP_MIN = 1 << 16
+# Above this, chunked EXECUTION (fft_fourstep_big) keeps peak HBM at
+# in + out + one working block.
+FOURSTEP_BIG = 1 << 23
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
@@ -127,6 +130,62 @@ def fft_fourstep_core(
         C, _ = jax.lax.fori_loop(0, CH, body, (B, T0))
     Ct = C.transpose(0, 2, 1)  # (L, n2, n1)
     E = _fft_core(spec, Ct, n2, pow(w_int, n1, p), scale_int)  # [k2, k1]
+    return E.reshape(L, n)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def fft_fourstep_big(
+    spec: FieldSpec, x: jnp.ndarray, n1: int, n2: int, w_int: int,
+    scale_int: Optional[int] = None,
+) -> jnp.ndarray:
+    """Four-step NTT with CHUNKED EXECUTION for sizes where even two spare
+    full-array temporaries blow HBM (2^24 = 1 GB/copy; this chip holds
+    ~3 GB of live arrays). Both sub-FFT passes run column-block by
+    column-block inside fori_loops whose carry is updated in place, so the
+    peak is in + out + one ~n/CH working set. Same math as
+    fft_fourstep_core."""
+    L = x.shape[0]
+    n = n1 * n2
+    p = spec.modulus
+    CH = 8
+    assert n2 % CH == 0 and n1 % CH == 0
+    m2 = n2 // CH
+    m1 = n1 // CH
+    w1 = pow(w_int, n2, p)
+    w2 = pow(w_int, n1, p)
+    A = x.reshape(L, n1, n2)
+
+    # pass 1: size-n1 FFT over axis 1 for each i2-block, then the k1-twiddle
+    # T[k1, i2] = w^{k1·i2} built per block (log-depth doubling over k1)
+    def body1(c, out):
+        blk = jax.lax.dynamic_slice(A, (0, 0, c * m2), (L, n1, m2))
+        blk = _fft_core(spec, blk, n1, w1, None)
+        base = jax.lax.dynamic_slice(
+            full_base, (0, c * m2), (L, m2)
+        )  # w^{i2} for the block
+        T = fp.one(spec, (1, m2))
+        bpow = base[:, None, :]
+        mlen = 1
+        while mlen < n1:
+            T = jnp.concatenate(
+                [T, fp.mont_mul(spec, T[:, : n1 - mlen], bpow)], axis=1
+            )
+            bpow = fp.mont_sqr(spec, bpow)
+            mlen *= 2
+        blk = fp.mont_mul(spec, blk, T)
+        return jax.lax.dynamic_update_slice(out, blk, (0, 0, c * m2))
+
+    full_base = power_table(spec, w_int, n2)  # (L, n2)
+    C = jax.lax.fori_loop(0, CH, body1, jnp.zeros_like(A))
+    Ct = C.transpose(0, 2, 1)  # (L, n2, n1)
+
+    # pass 2: size-n2 FFT over axis 1 for each k1-block
+    def body2(c, out):
+        blk = jax.lax.dynamic_slice(Ct, (0, 0, c * m1), (L, n2, m1))
+        blk = _fft_core(spec, blk, n2, w2, scale_int)
+        return jax.lax.dynamic_update_slice(out, blk, (0, 0, c * m1))
+
+    E = jax.lax.fori_loop(0, CH, body2, jnp.zeros_like(Ct))
     return E.reshape(L, n)
 
 
@@ -211,6 +270,11 @@ class Radix2Domain:
             coeffs = jnp.pad(coeffs, ((0, 0), (0, n - m)))
         if self.offset_int != 1:
             coeffs = distribute_powers(spec, coeffs, self.offset_int)
+        if n >= FOURSTEP_BIG:
+            n1 = 1 << ((n.bit_length() - 1) // 2)
+            return fft_fourstep_big(
+                spec, coeffs, n1, n // n1, self.group_gen_int, None
+            )
         if n >= FOURSTEP_MIN:
             n1 = 1 << ((n.bit_length() - 1) // 2)
             return fft_fourstep_core(
@@ -247,7 +311,13 @@ class Radix2Domain:
         spec, n = self.spec, self.size
         if evals.shape[1] != n:
             raise ValueError("evaluation count must equal domain size")
-        if n >= FOURSTEP_MIN:
+        if n >= FOURSTEP_BIG:
+            n1 = 1 << ((n.bit_length() - 1) // 2)
+            out = fft_fourstep_big(
+                spec, evals, n1, n // n1, self.group_gen_inv_int,
+                self.size_inv_int,
+            )
+        elif n >= FOURSTEP_MIN:
             n1 = 1 << ((n.bit_length() - 1) // 2)
             out = fft_fourstep_core(
                 spec, evals, n1, n // n1, self.group_gen_inv_int,
