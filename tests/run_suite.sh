@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Fast-tier suite runner: one pytest process per test file, 2-way parallel,
+# shared persistent compilation cache.
+#
+# WHY NOT one big pytest process: XLA:CPU on this jax build intermittently
+# SEGFAULTS (executable.serialize() during persistent-cache writes, or
+# backend_compile under memory pressure) once a process has accumulated
+# hundreds of compiled graphs — measured round 4: three single-process
+# full-suite runs died at unrelated tests past the ~40% mark, while every
+# per-file run passes. Process-per-file caps the blast radius at one file
+# and resets the accumulation; pytest-xdist absorbs crashes too but its
+# loadfile scheduler deadlocked after a node replacement on this box.
+#
+# Usage: tests/run_suite.sh [cache_dir] ; exits nonzero if any file fails.
+set -u
+cd "$(dirname "$0")/.."
+CACHE="${1:-/tmp/zkarray-xla-cache}"
+LOGDIR=$(mktemp -d /tmp/zkarray-suite.XXXX)
+echo "cache: $CACHE  logs: $LOGDIR"
+start=$(date +%s)
+
+ls tests/test_*.py | xargs -P 2 -I{} bash -c '
+  f="{}"; b=$(basename "$f" .py)
+  ZKARRAY_CACHE_DIR="'"$CACHE"'" python -m pytest "$f" -q -m "not slow" \
+      > "'"$LOGDIR"'/$b.log" 2>&1
+  rc=$?
+  tail=$(grep -E "passed|failed|error|no tests ran" "'"$LOGDIR"'/$b.log" | tail -1)
+  printf "%-28s rc=%-3s %s\n" "$b" "$rc" "$tail"
+  exit $rc
+'
+rc=$?
+echo "wall: $(( $(date +%s) - start ))s  overall rc=$rc"
+exit $rc

@@ -57,7 +57,13 @@ def test_gs_sqr_differs_from_full_square_outside_subgroup():
     assert not np.asarray(F12.eq(got, want)).all()
 
 
+@pytest.mark.slow
 def test_cyclotomic_exp_matches_host_pow(cyc_elem):
+    # slow tier: XLA:CPU intermittently SEGFAULTS compiling this exact
+    # BN254-F12 NAF-scan graph under suite memory pressure (3 suite runs
+    # died here in round 4; isolated runs pass). The same exp machinery is
+    # exercised in the fast tier through the BLS12-381/BN254 pairing
+    # bundles' final exponentiation.
     e = 0xD201000000010000  # BLS12-381 |X| — sparse, realistic
     f = F12.from_ints(_nest(cyc_elem))
     got = cyc.cyclotomic_exp(F12, f, e)
