@@ -9,15 +9,14 @@ Design rules (learned rounds 1-2, where rc=124 with no JSON twice):
 * Health probe first: the axon TPU tunnel can be wedged by a previous
   worker crash; a cheap probe (and one retry) decides fast instead of
   burning the budget on doomed compiles.
-* SAFE PATH FIRST: the fused-XLA path banks a number before the Pallas
-  kernel path (which once kernel-faulted the TPU worker at 2^18) is tried.
-  Each measurement runs in a SUBPROCESS so a worker crash costs one
-  attempt, not the bench. After any Pallas attempt the tunnel is re-probed.
-* ``vs_baseline`` denominator: 1.0e6 points/s — an ASSUMED order-of-
-  magnitude anchor for arkworks' multicore-CPU Pippenger at 2^20. The
-  reference publishes no absolute numbers and this image has no Rust
-  toolchain to measure one (BASELINE.md); the ``baseline`` field in the
-  output says so explicitly.
+* HEADLINE FIRST: the 2^26 chunked MSM (the north-star metric) banks
+  before lower rungs — rounds 1-2 were externally killed (rc=124) before
+  printing anything. Each measurement runs in a SUBPROCESS so a worker
+  crash costs one attempt, not the bench; every banked MSM number must
+  pass the host known-answer check and every NTT the ifft round-trip.
+* ``vs_baseline`` denominator: 1.0e6 points/s — a DERIVED model of
+  arkworks' multicore-CPU Pippenger at 2^20 (BASELINE.md states every
+  assumption; no Rust toolchain exists here to measure it).
 
 Timing note (measured, round 2): the axon tunnel's block_until_ready does
 not block until execution — every timing must synchronize via a
@@ -382,30 +381,34 @@ def main():
             if msm_best is None or r["pts_per_s"] > msm_best[0]:
                 msm_best = (r["pts_per_s"], r)
 
-    # 2. flagship: 2^20 one-shot on the kernel path (verified in-worker)
-    r20 = attempt("msm", 20, cap=600)
-    bank_msm(r20)
-    if not r20:
-        _log("kernel-path 2^20 failed; re-probing, then XLA fallback")
-        attempt("probe", 0, cap=240, floor=60)
-        bank_msm(attempt("msm", 16, cap=480, env=xla))
+    # Ladder order = value under a tight external timeout (rounds 1-2 were
+    # killed at rc=124 before printing): the 2^26 chunked MSM IS the
+    # north-star headline, so it banks first; every lower rung only runs if
+    # budget remains. All compiles are persistent-cached from prior runs.
 
-    # 3. NTT ladder: north-star 2^24 (known to exceed this chip's ~3 GB
-    #    effective HBM — single-array copies are 1 GB; the sharded four-step
-    #    is the designed path at that size), then 2^22, then 2^20.
+    # 2. headline: chunked 2^26 (streams 32 x 2^21; verified in-worker)
+    r26 = attempt("msmc", 26, cap=1100, chunk_log=21)
+    bank_msm(r26)
+
+    # 3. NTT ladder: north-star 2^24 (chunked-execution four-step), then
+    #    2^22 / 2^20 fallbacks.
     ntt = attempt("ntt", args.ntt_log_n, cap=600)
     if not ntt:
         ntt = attempt("ntt", 22, cap=420)
     if not ntt:
         ntt = attempt("ntt", 20, cap=300)
 
-    # 4. north-star MSM ladder: 2^22 one-shot, then chunked 2^24 / 2^26
-    if remaining() > 300:
-        bank_msm(attempt("msm", 22, cap=700))
+    # 4. per-chip flagship at 2^20, then the middle sizes
+    r20 = attempt("msm", 20, cap=600)
+    bank_msm(r20)
+    if not r20 and not r26:
+        _log("kernel-path runs failed; re-probing, then XLA fallback")
+        attempt("probe", 0, cap=240, floor=60)
+        bank_msm(attempt("msm", 16, cap=480, env=xla))
     if remaining() > 420:
         bank_msm(attempt("msmc", 24, cap=700, chunk_log=21))
-    if remaining() > 600:
-        bank_msm(attempt("msmc", 26, cap=1100, chunk_log=21))
+    if remaining() > 300:
+        bank_msm(attempt("msm", 22, cap=700))
 
     # 5. roofline
     roof = attempt("roofline", 20, cap=300)
