@@ -218,6 +218,14 @@ def test_bw6_767_pairing_bilinear():
     from zkarray.ec.pairing import bw6 as bw6_mod
     from zkarray.ec import sw
     import jax.numpy as jnp
+    import os
+
+    # The L=48 Miller/final-exp executables hit the XLA:CPU serialize
+    # fault during persistent-cache writes (segfaulted this file's slow
+    # run in round 4); shield every compile this test triggers.
+    os.environ["ZKARRAY_CACHE_WRITE_DENY"] = (
+        "miller,g2_prepare,final_exp,pairing,exp_"
+    )
 
     b = bw6_767
     F6 = b.FQ6

@@ -43,11 +43,13 @@ def _install_serialize_guard(cc_mod):
     orig = cc_mod.put_executable_and_time
     if getattr(orig, "_zkarray_guarded", False):
         return
-    deny = tuple(_SERIALIZE_DENY) + tuple(
-        s for s in os.environ.get("ZKARRAY_CACHE_WRITE_DENY", "").split(",") if s
-    )
 
     def guarded(cache_key, module_name, executable, backend, compile_time):
+        # env re-read per call: tests shield additional executables (e.g.
+        # the BW6-767 Miller loop, whose L=48 graph also hits the fault)
+        deny = tuple(_SERIALIZE_DENY) + tuple(
+            d for d in os.environ.get("ZKARRAY_CACHE_WRITE_DENY", "").split(",") if d
+        )
         name = str(module_name)
         if any(d in name for d in deny):
             warnings.warn(
