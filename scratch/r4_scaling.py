@@ -47,7 +47,7 @@ def timeit(fn, iters=3):
 
 curve = bn254.G1
 rng = np.random.default_rng(0)
-log_n = 14
+log_n = 12
 n = 1 << log_n
 g = (curve.gen_x, curve.gen_y)
 base = [ec_mul(g, int(k), curve.a_int, curve.base.modulus)
@@ -60,24 +60,24 @@ pinf = jnp.zeros(n, dtype=bool)
 A = AffinePoints(px, py, pinf)
 Ls = curve.scalar.num_limbs
 sc = rng.integers(0, 1 << 16, size=(Ls, n), dtype=np.uint32)
-sc[-1] >>= 3
+sc[4:] = 0  # 64-bit scalars match max_scalar_bits=64 (small, fast compiles)
 s = jnp.asarray(sc)
 
 # unsharded reference
 t_un = timeit(lambda: __import__("zkarray.ec.msm", fromlist=["msm"]).msm(
-    curve, A, s, 10, 253))
+    curve, A, s, 8, 64))
 print(f"msm 2^{log_n} unsharded: {t_un*1e3:.0f} ms", flush=True)
 
-sizes = [1, 2, 4, 8] if mode == "cpu" else [1]
+sizes = [1, 8] if mode == "cpu" else [1]
 for D in sizes:
     mesh = make_mesh(D)
-    t = timeit(lambda: msm_sharded(curve, A, s, mesh, c=10, max_scalar_bits=253))
+    t = timeit(lambda: msm_sharded(curve, A, s, mesh, c=8, max_scalar_bits=64))
     print(f"msm 2^{log_n} sharded D={D}: {t*1e3:.0f} ms  (vs unsharded {t_un/t:.2f}x)",
           flush=True)
 
 # NTT
 spec = bn254.FR
-log_m = 18
+log_m = 16
 m = 1 << log_m
 limbs = rng.integers(0, 1 << 16, size=(spec.num_limbs, m), dtype=np.uint32)
 limbs[-1] >>= 3
