@@ -66,3 +66,62 @@ def test_map_and_full_h2c_vectors(g1_vectors):
         P = hash_to_curve_bls12_381_g1(v["msg"].encode(), dst)
         assert fp.to_ints(b381.FQ, P.x) == [px]
         assert fp.to_ints(b381.FQ, P.y) == [py]
+
+
+# ---------------------------------------------------------------------------
+# G2 suite (reference: curves/bls12_381/src/curves/tests/mod.rs:16 test_h2c!
+# g2_hc2 over BLS12381G2_XMD:SHA-256_SSWU_RO_; g2_swu_iso.rs constants)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def g2_vectors():
+    return json.load(
+        open(os.path.join(VEC_DIR, "BLS12381G2_XMD-SHA-256_SSWU_RO_.json"))
+    )
+
+
+def _fq2_pair(s):
+    """'0x..c0,0x..c1' -> (c0, c1) ints."""
+    c0, c1 = s.split(",")
+    return int(c0, 16), int(c1, 16)
+
+
+def test_g2_hash_to_field_vectors(g2_vectors):
+    d = g2_vectors
+    dst = d["dst"].encode()
+    for v in d["vectors"][:3]:
+        want = [_fq2_pair(u) for u in v["u"]]
+        got = hash_to_field_ints(b381.FQ, v["msg"].encode(), dst, 2, ext_degree=2)
+        assert [tuple(g) for g in got] == want
+
+
+def test_g2_map_and_full_h2c_vectors(g2_vectors):
+    from zkarray.ec.h2c.wb_g2 import bls12_381_g2_wb_map, hash_to_curve_bls12_381_g2
+
+    F2 = b381.FQ2
+    d = g2_vectors
+    dst = d["dst"].encode()
+    for v in d["vectors"][:3]:
+        us = [_fq2_pair(u) for u in v["u"]]
+        u = F2.from_ints([[us[0][0], us[1][0]], [us[0][1], us[1][1]]])
+        mapped = bls12_381_g2_wb_map(u)
+        xs = F2.to_ints(mapped.x)
+        ys = F2.to_ints(mapped.y)
+
+        def pt(x):
+            if isinstance(x, str):
+                x = json.loads(x.replace("'", '"'))
+            return _fq2_pair(x["x"]), _fq2_pair(x["y"])
+
+        for i, key in enumerate(("Q0", "Q1")):
+            qx, qy = pt(v[key])
+            assert (xs[0][i], xs[1][i]) == qx, (v["msg"][:20], key)
+            assert (ys[0][i], ys[1][i]) == qy, (v["msg"][:20], key)
+
+        px, py = pt(v["P"])
+        P = hash_to_curve_bls12_381_g2(v["msg"].encode(), dst)
+        got_x = F2.to_ints(P.x)
+        got_y = F2.to_ints(P.y)
+        assert (got_x[0][0], got_x[1][0]) == px
+        assert (got_y[0][0], got_y[1][0]) == py

@@ -139,8 +139,9 @@ def test_pallas_xyzz_add_affine_compiled_tpu():
 
 def _accum_tiles_case():
     """Shared driver: tile-accumulation kernel vs T sequential XLA mixed
-    adds on bn254 (L=16 keeps interpreter cost tolerable). Covers sign
-    negation, skip (bit29), and generic adds across 2 rounds."""
+    adds on bn254 (L=16 keeps interpreter cost tolerable). Covers the
+    presorted-feed contract (signs pre-applied to y, validity mask) and
+    generic adds across 2 rounds."""
     import sys, os
     sys.path.insert(0, os.path.dirname(__file__))
     from ec_oracle import ec_mul
@@ -169,16 +170,17 @@ def _accum_tiles_case():
         A = curve.affine_from_ints(pts)
         sign = rng.integers(0, 2, size=n_slots).astype(bool)
         skip = rng.integers(0, 4, size=n_slots) == 0
-        rounds_pts.append((A, sign, skip))
-        pk = (sign.astype(np.int32) << 30) | (skip.astype(np.int32) << 29)
-        rounds_pk.append(pk)
+        # presorted-feed contract: digit signs are baked into y up front
+        y = fp.select(jnp.asarray(sign), fp.neg(curve.base, A.y), A.y)
+        A = AffinePoints(A.x, y, A.inf)
+        rounds_pts.append((A, skip))
+        rounds_pk.append((~skip).astype(np.int32))
 
     # XLA reference: apply the two rounds with sw.xyzz_add_affine
     want = state0
-    for A, sign, skip in rounds_pts:
-        y = fp.select(jnp.asarray(sign), fp.neg(curve.base, A.y), A.y)
+    for A, skip in rounds_pts:
         want = sw.xyzz_add_affine(
-            curve, want, AffinePoints(A.x, y, jnp.asarray(skip))
+            curve, want, AffinePoints(A.x, A.y, jnp.asarray(skip))
         )
 
     # kernel: pack streams
@@ -191,7 +193,7 @@ def _accum_tiles_case():
         .transpose(1, 0, 2, 3)
     )
     cds = []
-    for A, _, _ in rounds_pts:
+    for A, _ in rounds_pts:
         xy = jnp.concatenate([A.x, A.y], axis=0)
         cds.append(pack_pairs(xy))  # (L, n_slots)
     coords = (
@@ -200,12 +202,12 @@ def _accum_tiles_case():
         .transpose(2, 1, 0, 3, 4)
         .reshape(nb, T * L, 8, 128)
     )
-    pk = (
+    valid = (
         jnp.asarray(np.stack(rounds_pk))  # (T, n_slots)
         .reshape(T, nb, 8, 128)
         .transpose(1, 0, 2, 3)
     )
-    got_p = ksw.xyzz_accum_tiles(curve, st_p, coords, pk, T)
+    got_p = ksw.xyzz_accum_tiles(curve, st_p, coords, valid, T)
     rows = got_p.transpose(1, 0, 2, 3).reshape(2 * L, n_slots)
     Lp = L // 2
 

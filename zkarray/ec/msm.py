@@ -21,10 +21,13 @@ to XLA. Instead:
 4.  ``rounds = max bucket occupancy`` (a lax.while_loop bound): work is
     W·(N + slack) mixed adds — the Pippenger optimum plus the occupancy
     imbalance — and every add runs at W·B-lane batch width. On TPU the
-    loop runs T rounds per Pallas launch with the bucket state resident in
-    VMEM and all T rounds' point fetches in one flat gather
-    (_round_loop_tiles; XLA gather costs ~9 ns/INDEX regardless of row
-    width, so fewer, wider gathers win).
+    points are first MATERIALIZED in sorted bucket order per window group
+    (one row-gather, digit signs baked into y), so round r of every bucket
+    reads consecutive rows: the loop runs T rounds per Pallas launch with
+    the bucket state resident in VMEM and each bucket's next T points
+    fetched as ONE contiguous (T, L) slice (_round_loop_presorted; XLA
+    gather costs ~9 ns/INDEX regardless of row width, so turning 2·T·WB
+    scattered indices per launch into WB slice indices wins ~2T×).
 5.  Bucket reduction Σ b·bucket_b decomposes the weights into bits — per
     bit one masked full-width tree-sum (reference :477-484 does serial
     suffix sums) — then a single-launch Horner kernel walks the ~c·W
@@ -67,75 +70,114 @@ def _unpack_pairs(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([w & 0xFFFF, w >> 16], axis=1).reshape((2 * k,) + w.shape[1:])
 
 
-def _round_loop_tiles(curve, packed, pxy, S, rounds, state0):
-    """Bucket-round loop, TPU kernel path: T rounds per launch with the
-    bucket state resident in VMEM (kernels/sw.py:xyzz_accum_tiles) and all
-    T rounds' point fetches batched into ONE flat gather.
+def _neg_y_rows(f, rows: jnp.ndarray, sign: jnp.ndarray) -> jnp.ndarray:
+    """rows: (R, L) point-major packed coord words (x words ‖ y words);
+    sign: (R,) bool. Returns rows with y -> p - y where sign (y == 0
+    stays 0). Used to bake digit signs into the presorted point layout so
+    the accumulation kernel never touches signs."""
+    L = rows.shape[1]
+    Lc = L // 2
+    p = f.modulus
+    yw = rows[:, Lc:]
+    limbs = []
+    for k in range(Lc):
+        w = yw[:, k]
+        limbs.append(w & jnp.uint32(0xFFFF))
+        limbs.append(w >> 16)
+    nl = 2 * Lc
+    borrow = jnp.zeros_like(limbs[0])
+    outs = []
+    for k in range(nl):
+        pk16 = np.uint32((p >> (16 * k)) & 0xFFFF)
+        t = pk16 - limbs[k] - borrow
+        outs.append(t & jnp.uint32(0xFFFF))
+        borrow = t >> 31
+    yzero = limbs[0]
+    for l in limbs[1:]:
+        yzero = yzero | l
+    use = sign & (yzero != 0)
+    negw = jnp.stack(
+        [outs[2 * k] | (outs[2 * k + 1] << 16) for k in range(Lc)], axis=1
+    )
+    newy = jnp.where(use[:, None], negw, yw)
+    return jnp.concatenate([rows[:, :Lc], newy], axis=1)
 
-    Rationale (measured round 4, v5e via axon): XLA gather cost is
-    ~9 ns/index regardless of row width, plus ~8 ms fixed per dispatch —
-    the old one-gather-per-round loop paid ~9 ms/round against 1.6 ms of
-    add compute. Tiling T rounds amortizes the fixed cost T-fold; the
-    kernel removes the per-round state read/write (384 B/bucket/round).
+
+def _group_windows(W: int, n: int, L: int) -> int:
+    """Windows materialized together in the presorted layout: bounded by
+    the HBM budget for one group's sorted coordinate copy (n·L·4 bytes per
+    window). Override via ZKARRAY_MSM_GROUP_BYTES."""
+    budget = int(os.environ.get("ZKARRAY_MSM_GROUP_BYTES", str(1 << 30)))
+    per_window = n * L * 4
+    return max(1, min(W, budget // max(per_window, 1)))
+
+
+def _round_loop_presorted(curve, rows, S_g, N, rounds, state_g):
+    """Bucket-round loop over one window group, TPU kernel path.
+
+    ``rows``: (Gg·N, L) — the group's points in PHYSICALLY SORTED bucket
+    order (window-major), signs pre-applied. Round r of bucket b then
+    reads rows [start_b + r·…]: CONSECUTIVE rows. A T-round launch fetches
+    each bucket's next T points as ONE contiguous (T, L) slice — a
+    slice-gather of WBp indices per launch instead of the round-4 path's
+    2·T·WBp scattered single-row indices (payload indirection + coords).
+    Measured round 4: gather cost is per-INDEX (~9.3 ns, flat in row
+    width), so this is the 2×-and-more gather killer the round-4 phase
+    table pointed at.
+
+    S_g: (Gg, half+1) sorted-position fences for the group's windows.
+    state_g: XYZZPoints coords (L, Gg, half). Returns updated state_g.
     """
     f = curve.base
     L = f.num_limbs
     Lp = L // 2
-    W = packed.shape[0]
-    N = packed.shape[1]
-    half = S.shape[1] - 1
-    WB = W * half
+    Gg, half = state_g.x.shape[1], state_g.x.shape[2]
+    WB = Gg * half
     nb = -(-WB // 1024)
     WBp = nb * 1024
     pad = WBp - WB
     T = ACCUM_T
 
-    S_lo = jnp.pad(S[:, :-1].reshape(WB), (0, pad))
-    S_hi = jnp.pad(S[:, 1:].reshape(WB), (0, pad))  # pad slots never valid
-    base = jnp.pad(
-        jnp.broadcast_to(
-            jnp.arange(W, dtype=jnp.int32)[:, None] * N, (W, half)
-        ).reshape(WB),
-        (0, pad),
-    )
-    packed_flat = packed.reshape(W * N)
+    woff = (jnp.arange(Gg, dtype=jnp.int32) * N)[:, None]
+    starts = jnp.pad((S_g[:, :-1] + woff).reshape(WB), (0, pad))
+    ends = jnp.pad((S_g[:, 1:] + woff).reshape(WB), (0, pad))  # pad: empty
 
     def pack_state(st):
-        rows = jnp.concatenate(
+        rws = jnp.concatenate(
             [_pack_pairs(v.reshape(L, WB)) for v in st], axis=0
         )  # (2L, WB)
-        rows = jnp.pad(rows, ((0, 0), (0, pad)))
-        return rows.reshape(2 * L, nb, 8, 128).transpose(1, 0, 2, 3)
+        rws = jnp.pad(rws, ((0, 0), (0, pad)))
+        return rws.reshape(2 * L, nb, 8, 128).transpose(1, 0, 2, 3)
 
     def unpack_state(stp):
-        rows = stp.transpose(1, 0, 2, 3).reshape(2 * L, WBp)[:, :WB]
-        parts = [_unpack_pairs(rows[i * Lp : (i + 1) * Lp]) for i in range(4)]
-        return XYZZPoints(*(p.reshape(L, W, half) for p in parts))
+        rws = stp.transpose(1, 0, 2, 3).reshape(2 * L, WBp)[:, :WB]
+        parts = [_unpack_pairs(rws[i * Lp : (i + 1) * Lp]) for i in range(4)]
+        return XYZZPoints(*(p.reshape(L, Gg, half) for p in parts))
 
     from zkarray.kernels import sw as ksw
 
     rT = jnp.arange(T, dtype=jnp.int32)
-    state_p = pack_state(state0)
+    state_p = pack_state(state_g)
 
     def cond(c):
         return c[0] < rounds
 
     def body(c):
         t0, stp = c
-        pos = S_lo[None, :] + (t0 + rT)[:, None]  # (T, WBp)
-        valid = pos < S_hi[None, :]
-        posc = jnp.where(valid, pos, 0)
-        pk = jnp.take(packed_flat, (base[None] + posc).reshape(-1))
-        pk = jnp.where(valid, pk.reshape(T, WBp), jnp.int32(1 << 29))
-        cidx = (pk & ((1 << 29) - 1)).reshape(-1)
-        g = pxy[:, cidx]  # (L, T*WBp) packed coord words
+        st = starts + t0  # (WBp,) — dynamic_slice clamps at the array end
+        sl = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(rows, (s, jnp.int32(0)), (T, L))
+        )(st)  # (WBp, T, L)
         coords = (
-            g.reshape(L, T, nb, 8, 128)
-            .transpose(2, 1, 0, 3, 4)
+            sl.reshape(nb, 1024, T, L)
+            .transpose(0, 2, 3, 1)
             .reshape(nb, T * L, 8, 128)
         )
-        pkr = pk.reshape(T, nb, 8, 128).transpose(1, 0, 2, 3)
-        stp = ksw.xyzz_accum_tiles(curve, stp, coords, pkr, T)
+        valid = (st[None, :] + rT[:, None]) < ends[None, :]  # (T, WBp)
+        validr = (
+            valid.astype(jnp.int32).reshape(T, nb, 8, 128).transpose(1, 0, 2, 3)
+        )
+        stp = ksw.xyzz_accum_tiles(curve, stp, coords, validr, T)
         return t0 + T, stp
 
     _, state_p = jax.lax.while_loop(cond, body, (jnp.int32(0), state_p))
@@ -315,6 +357,10 @@ def msm_accumulate(
 
     digits = signed_digits(curve.scalar, scalars, c, W)  # (W, N) int32
     mag = jnp.abs(digits)
+    # Points at infinity contribute nothing: zero their digits so they sort
+    # below every bucket fence and are never fetched (the presorted kernel
+    # path relies on this; the XLA fallback also carries an inf payload bit).
+    mag = jnp.where(points.inf[None, :], 0, mag)
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (W, n))
 
     # Tail-window sub-bucket split. Windows past the scalar width span only
@@ -359,7 +405,26 @@ def msm_accumulate(
     from zkarray.kernels import mont as _km
 
     if _km.use_pallas((W, half), min_batch=4096):
-        return _round_loop_tiles(curve, packed, pxy, S, rounds, state)
+        # Presorted kernel path: per window group, materialize the group's
+        # points in sorted bucket order (one row-gather of Gg·N indices,
+        # signs baked into y), then stream contiguous (T, L) slices into
+        # the VMEM-resident accumulation kernel.
+        pxyT = pxy.T  # (N, L) point-major coordinate rows
+        G = _group_windows(W, n, L)
+        parts = []
+        for g0 in range(0, W, G):
+            g1 = min(W, g0 + G)
+            perm = (packed[g0:g1] & ((1 << 29) - 1)).reshape(-1)
+            sgn = (((packed[g0:g1] >> 30) & 1) != 0).reshape(-1)
+            rows = _neg_y_rows(f, pxyT[perm], sgn)
+            rounds_g = jnp.max(counts[g0:g1])
+            st_g = XYZZPoints(*(v[:, g0:g1] for v in state))
+            parts.append(
+                _round_loop_presorted(curve, rows, S[g0:g1], n, rounds_g, st_g)
+            )
+        if len(parts) == 1:
+            return parts[0]
+        return XYZZPoints(*(jnp.concatenate(vs, axis=1) for vs in zip(*parts)))
 
     # XLA fallback: one masked (W, half)-wide mixed add per round.
     def cond(carry):

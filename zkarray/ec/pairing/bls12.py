@@ -232,9 +232,10 @@ def _fe_easy(bspec: Bls12Spec, f):
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def _fe_hard_glue(bspec: Bls12Spec, r, y1a, y2b, y2c, y2d, y2e):
-    """The non-exp_by_x steps of the gurvy hard part, given the five
-    exp_by_x results (see final_exponentiation for the wiring)."""
+def _fe_hard_glue(bspec: Bls12Spec, r, y1a, y2b, y2c, y2e):
+    """The non-exp_by_x steps of the gurvy hard part, given the exp_by_x
+    results it consumes (y2d only feeds y2e = y2d^x, computed by the
+    caller; see final_exponentiation for the wiring)."""
     F12 = bspec.fq12
     y0 = cyc.cyclotomic_sqr(F12, r)
     y1 = F12.mul(y1a, F12.conjugate(r))
@@ -268,7 +269,7 @@ def final_exponentiation(bspec: Bls12Spec, f):
     y1n = F12.mul(F12.frobenius(y1_mid2, 1), y2c)
     y2d = _cyclotomic_exp_x(bspec, y1n)
     y2e = _cyclotomic_exp_x(bspec, y2d)
-    return _fe_hard_glue(bspec, r, y1a, y2b, y2c, y2d, y2e)
+    return _fe_hard_glue(bspec, r, y1a, y2b, y2c, y2e)
 
 
 def pairing(bspec: Bls12Spec, P: AffinePoints, Q: ExtAffine):

@@ -30,7 +30,7 @@ _SERIALIZE_DENY = (
     "_fe_hard_glue",
     "cyclotomic_exp",
     "fp12_pow_const",
-    "gt_",
+    "jit_gt_",  # anchored: only gt.py's own jits, not any name containing "gt_"
 )
 
 

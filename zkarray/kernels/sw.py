@@ -210,7 +210,7 @@ def xyzz_add_affine(curve, P, A):
 # MSM tile accumulation: T bucket rounds per kernel invocation
 # ---------------------------------------------------------------------------
 
-def xyzz_accum_tiles(curve, state, coords, pk, T: int):
+def xyzz_accum_tiles(curve, state, coords, valid, T: int):
     """Run T sequential bucket rounds inside ONE kernel launch.
 
     The reference's MSM inner loop adds each point into its bucket serially
@@ -222,12 +222,17 @@ def xyzz_accum_tiles(curve, state, coords, pk, T: int):
     round 4: the XLA per-round path spent ~9 ms/round in gather+dispatch
     against 1.6 ms of add compute).
 
+    The feed is PRESORTED (round 5): the MSM materializes each window's
+    points in bucket-sorted order with digit signs already applied to y
+    and infinity points excluded (zero digit), so the kernel needs no
+    per-slot sign negate or index decode — just a validity bit.
+
     state:  (nb, 2L, 8, 128) uint32 — X‖Y‖ZZ‖ZZZ, 16-bit limb PAIRS packed
             into u32 words (L//2 words per coordinate), 1024 buckets/block.
     coords: (nb, T·L, 8, 128) uint32 — per round r, rows [r·L, r·L+L) are
             the affine x‖y packed words of the point entering each bucket.
-    pk:     (nb, T, 8, 128) int32 — bit30 = negate-y, bit29 = skip (point
-            at infinity / bucket exhausted this round).
+    valid:  (nb, T, 8, 128) int32 — nonzero where the bucket still has a
+            point this round; zero slots are skipped (identity add).
     Returns the updated state (aliased with the input buffer).
     """
     f = curve.base
@@ -261,11 +266,7 @@ def xyzz_accum_tiles(curve, state, coords, pk, T: int):
             pkv = pk_ref[0, r]  # (8, 128) int32
             AX = unpack(cd[:Lp])
             AY = unpack(cd[Lp:])
-            sign = ((pkv >> 30) & 1) != 0
-            a_inf = ((pkv >> 29) & 1) != 0
-            zero = [jnp.zeros_like(AX[0])] * L
-            AYn = km._sub_body(L, p_limbs, zero, AY)  # (p - y) mod p
-            AY = _sel(sign, AYn, AY)
+            a_inf = pkv == 0
             X3, Y3, ZZ3, ZZZ3 = _madd_core(
                 L, p_limbs, inv16, one_m, a_limbs, st, AX, AY, a_inf,
                 lazy_dbl=True,
@@ -299,7 +300,7 @@ def xyzz_accum_tiles(curve, state, coords, pk, T: int):
         out_specs=st_spec,
         input_output_aliases={0: 0},
         interpret=km.interpret_mode(),
-    )(state, coords, pk)
+    )(state, coords, valid)
 
 
 # ---------------------------------------------------------------------------

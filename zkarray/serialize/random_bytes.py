@@ -145,6 +145,10 @@ def te_from_random_bytes(
         fp.mont_mul(f, fp.const_array(f, curve.d_int, ()), y2),
         fp.const_array(f, curve.a_int, y2.shape[1:]),
     )
+    # d*y^2 - a == 0 has no inverse: the reference's get_point_from_y_unchecked
+    # returns None there (inverse() fails); batch_inv maps 0 -> 0, which would
+    # otherwise let (0, y) through as a fake square — mask those rows invalid.
+    den_ok = ~np.asarray(fp.is_zero(f, den))
     x2 = fp.mont_mul(f, num, fp.batch_inv(f, den))
     root, is_sq = fp.sqrt(f, x2)
     root_neg = fp.neg(f, root)
@@ -152,4 +156,4 @@ def te_from_random_bytes(
     x_small = fp.select(jnp.asarray(larger), root_neg, root)
     x_large = fp.neg(f, x_small)
     x = fp.select(jnp.asarray(neg), x_large, x_small)
-    return TEAffine(x, y), okf & np.asarray(is_sq)
+    return TEAffine(x, y), okf & den_ok & np.asarray(is_sq)
