@@ -170,17 +170,18 @@ def _accum_tiles_case():
         A = curve.affine_from_ints(pts)
         sign = rng.integers(0, 2, size=n_slots).astype(bool)
         skip = rng.integers(0, 4, size=n_slots) == 0
-        # presorted-feed contract: digit signs are baked into y up front
-        y = fp.select(jnp.asarray(sign), fp.neg(curve.base, A.y), A.y)
-        A = AffinePoints(A.x, y, A.inf)
-        rounds_pts.append((A, skip))
-        rounds_pk.append((~skip).astype(np.int32))
+        rounds_pts.append((A, sign, skip))
+        # vword contract: bit0 = valid, bit1 = negate-y
+        rounds_pk.append(
+            (~skip).astype(np.int32) | (sign.astype(np.int32) << 1)
+        )
 
     # XLA reference: apply the two rounds with sw.xyzz_add_affine
     want = state0
-    for A, skip in rounds_pts:
+    for A, sign, skip in rounds_pts:
+        y = fp.select(jnp.asarray(sign), fp.neg(curve.base, A.y), A.y)
         want = sw.xyzz_add_affine(
-            curve, want, AffinePoints(A.x, A.y, jnp.asarray(skip))
+            curve, want, AffinePoints(A.x, y, jnp.asarray(skip))
         )
 
     # kernel: pack streams
@@ -193,7 +194,7 @@ def _accum_tiles_case():
         .transpose(1, 0, 2, 3)
     )
     cds = []
-    for A, _ in rounds_pts:
+    for A, _, _ in rounds_pts:
         xy = jnp.concatenate([A.x, A.y], axis=0)
         cds.append(pack_pairs(xy))  # (L, n_slots)
     coords = (
@@ -239,3 +240,31 @@ def test_accum_tiles_matches_xla():
 )
 def test_accum_tiles_compiled_tpu():
     _accum_tiles_case()
+
+
+def test_butterfly_dit_inplace_matches_xla():
+    """Fused in-place DIT stage kernel vs the composed fp ops (interpreter
+    mode; bls12-381 Fr keeps L=16)."""
+    import jax.numpy as jnp
+    from zkarray.kernels import mont as km
+
+    spec = bls12_381.G1.scalar
+    L = spec.num_limbs
+    rng = np.random.default_rng(11)
+    C, H, R = 2, 8, 128
+    n = C * 2 * H * R
+
+    xs = [int.from_bytes(rng.bytes(32), "little") % spec.modulus for _ in range(n)]
+    ws = [int.from_bytes(rng.bytes(32), "little") % spec.modulus for _ in range(H)]
+    x = fp.from_ints(spec, xs).reshape(L, C, 2, H, R)
+    w = fp.from_ints(spec, ws)  # (L, H)
+    wb = jnp.broadcast_to(w[:, :, None], (L, H, 128))
+
+    got = km.butterfly_dit_inplace(spec, x, wb, C, H, R)
+
+    lo, hi = x[:, :, 0], x[:, :, 1]
+    t = fp.mont_mul(spec, hi, w[:, None, :, None])
+    want_lo = fp.add(spec, lo, t)
+    want_hi = fp.sub(spec, lo, t)
+    assert np.array_equal(np.asarray(got[:, :, 0]), np.asarray(want_lo))
+    assert np.array_equal(np.asarray(got[:, :, 1]), np.asarray(want_hi))

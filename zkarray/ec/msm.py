@@ -18,16 +18,17 @@ to XLA. Instead:
     the (W, B) bucket array. No scatter exists anywhere: the bucket axis is
     aligned with the lane axis by construction, and no two points target the
     same bucket within a round.
-4.  ``rounds = max bucket occupancy`` (a lax.while_loop bound): work is
-    W·(N + slack) mixed adds — the Pippenger optimum plus the occupancy
-    imbalance — and every add runs at W·B-lane batch width. On TPU the
-    points are first MATERIALIZED in sorted bucket order per window group
-    (one row-gather, digit signs baked into y), so round r of every bucket
-    reads consecutive rows: the loop runs T rounds per Pallas launch with
-    the bucket state resident in VMEM and each bucket's next T points
-    fetched as ONE contiguous (T, L) slice (_round_loop_presorted; XLA
-    gather costs ~9 ns/INDEX regardless of row width, so turning 2·T·WB
-    scattered indices per launch into WB slice indices wins ~2T×).
+4.  Work is W·(N + slack) mixed adds — the Pippenger optimum plus the
+    occupancy imbalance — and every add runs at W·B-lane batch width. On
+    TPU the whole accumulate is TWO static-bound pallas grid sweeps per
+    window group (_accum_grid): slots are permuted by bucket occupancy so
+    band 1 covers mean+2σ rounds at full width and band 2 continues only
+    the top-⅛ occupancy prefix; both feeds are built by two HOISTED
+    gathers (payload rows then coordinate rows) laid out exactly as the
+    kernel consumes them, and each bucket block stays VMEM-resident
+    across all its rounds (kernels/sw.py:xyzz_accum_grid). A dynamic
+    while_loop residual finishes adversarial occupancy tails, so the
+    static bounds are performance choices, never correctness assumptions.
 5.  Bucket reduction Σ b·bucket_b decomposes the weights into bits — per
     bit one masked full-width tree-sum (reference :477-484 does serial
     suffix sums) — then a single-launch Horner kernel walks the ~c·W
@@ -70,118 +71,178 @@ def _unpack_pairs(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([w & 0xFFFF, w >> 16], axis=1).reshape((2 * k,) + w.shape[1:])
 
 
-def _neg_y_rows(f, rows: jnp.ndarray, sign: jnp.ndarray) -> jnp.ndarray:
-    """rows: (R, L) point-major packed coord words (x words ‖ y words);
-    sign: (R,) bool. Returns rows with y -> p - y where sign (y == 0
-    stays 0). Used to bake digit signs into the presorted point layout so
-    the accumulation kernel never touches signs."""
-    L = rows.shape[1]
-    Lc = L // 2
-    p = f.modulus
-    yw = rows[:, Lc:]
-    limbs = []
-    for k in range(Lc):
-        w = yw[:, k]
-        limbs.append(w & jnp.uint32(0xFFFF))
-        limbs.append(w >> 16)
-    nl = 2 * Lc
-    borrow = jnp.zeros_like(limbs[0])
-    outs = []
-    for k in range(nl):
-        pk16 = np.uint32((p >> (16 * k)) & 0xFFFF)
-        t = pk16 - limbs[k] - borrow
-        outs.append(t & jnp.uint32(0xFFFF))
-        borrow = t >> 31
-    yzero = limbs[0]
-    for l in limbs[1:]:
-        yzero = yzero | l
-    use = sign & (yzero != 0)
-    negw = jnp.stack(
-        [outs[2 * k] | (outs[2 * k + 1] << 16) for k in range(Lc)], axis=1
-    )
-    newy = jnp.where(use[:, None], negw, yw)
-    return jnp.concatenate([rows[:, :Lc], newy], axis=1)
+def _accum_bounds(c: int, n: int, T: int):
+    """Static per-band round bounds from bucket-occupancy statistics.
+
+    Bucket occupancy is ~Poisson(mean = n/half). Band 1 sweeps ALL buckets
+    for mean + R1_SIG·σ rounds (covers all but the upper tail); band 2
+    continues only the top-occupancy ⅛ prefix for R2_SIG·σ more rounds.
+    Anything beyond (adversarial inputs, e.g. all-equal scalars) falls to
+    the dynamic residual loop — the bounds are a PERFORMANCE choice, never
+    a correctness assumption. Static bounds keep the whole accumulate
+    traceable (no host sync) at a measured ~5% work premium over exact
+    occupancy-synced bands."""
+    half = 1 << (c - 1)
+    mean = max(1.0, n / half)
+    sig = math.sqrt(mean)
+    r1s = float(os.environ.get("ZKARRAY_MSM_R1_SIG", "2.0"))
+    r2s = float(os.environ.get("ZKARRAY_MSM_R2_SIG", "5.0"))
+    r1 = max(T, int(math.ceil((mean + r1s * sig) / T)) * T)
+    r2 = max(T, int(math.ceil((r2s * sig) / T)) * T)
+    return r1, r2
 
 
-def _group_windows(W: int, n: int, L: int) -> int:
-    """Windows materialized together in the presorted layout: bounded by
-    the HBM budget for one group's sorted coordinate copy (n·L·4 bytes per
-    window). Override via ZKARRAY_MSM_GROUP_BYTES."""
-    budget = int(os.environ.get("ZKARRAY_MSM_GROUP_BYTES", str(1 << 30)))
-    per_window = n * L * 4
+def _group_windows(W: int, half: int, r1b: int) -> int:
+    """Windows whose padded band-1 feed is materialized together: bounded
+    by the HBM budget for one group's coordinate feed (r1b·half·96 bytes
+    per window). Override via ZKARRAY_MSM_GROUP_BYTES."""
+    budget = int(os.environ.get("ZKARRAY_MSM_GROUP_BYTES", str(700 << 20)))
+    per_window = r1b * half * 96
     return max(1, min(W, budget // max(per_window, 1)))
 
 
-def _round_loop_presorted(curve, rows, S_g, N, rounds, state_g):
-    """Bucket-round loop over one window group, TPU kernel path.
+def _accum_grid(curve, packed, S, counts, pxy, state, c, scalar_bits):
+    """TPU kernel-path accumulate: two static-bound pallas grid sweeps per
+    window group over a PADDED PRESORTED feed, plus a dynamic residual.
 
-    ``rows``: (Gg·N, L) — the group's points in PHYSICALLY SORTED bucket
-    order (window-major), signs pre-applied. Round r of bucket b then
-    reads rows [start_b + r·…]: CONSECUTIVE rows. A T-round launch fetches
-    each bucket's next T points as ONE contiguous (T, L) slice — a
-    slice-gather of WBp indices per launch instead of the round-4 path's
-    2·T·WBp scattered single-row indices (payload indirection + coords).
-    Measured round 4: gather cost is per-INDEX (~9.3 ns, flat in row
-    width), so this is the 2×-and-more gather killer the round-4 phase
-    table pointed at.
-
-    S_g: (Gg, half+1) sorted-position fences for the group's windows.
-    state_g: XYZZPoints coords (L, Gg, half). Returns updated state_g.
+    Per group of windows (sized to HBM):
+    1. Permute the group's (window, bucket) slots by occupancy, descending
+       (device argsort of the counts — so high-occupancy buckets form a
+       prefix and the long tail can be continued at ⅛ width).
+    2. Build the band-1 feed with TWO HOISTED GATHERS — the payload rows
+       (4 B, ~9 ns/idx) then the coordinate rows (96 B limb-major,
+       ~12 ns/idx) — laid out exactly as the grid kernel consumes them:
+       no per-round dispatches, slices, or transposes remain.
+    3. One xyzz_accum_grid call sweeps all band-1 rounds with each bucket
+       block VMEM-resident; a second sweeps band 2 over the top-K prefix.
+    4. A while_loop residual (normally 0 iterations) finishes any bucket
+       whose occupancy exceeds the static bounds.
+    Reference analog being replaced: the serial scatter loop of
+    ec/src/scalar_mul/variable_base/mod.rs:464-475.
     """
     f = curve.base
     L = f.num_limbs
     Lp = L // 2
-    Gg, half = state_g.x.shape[1], state_g.x.shape[2]
-    WB = Gg * half
-    nb = -(-WB // 1024)
-    WBp = nb * 1024
-    pad = WBp - WB
+    W, half, _, _ = _window_geometry(c, scalar_bits)
+    N = packed.shape[1]
     T = ACCUM_T
-
-    woff = (jnp.arange(Gg, dtype=jnp.int32) * N)[:, None]
-    starts = jnp.pad((S_g[:, :-1] + woff).reshape(WB), (0, pad))
-    ends = jnp.pad((S_g[:, 1:] + woff).reshape(WB), (0, pad))  # pad: empty
-
-    def pack_state(st):
-        rws = jnp.concatenate(
-            [_pack_pairs(v.reshape(L, WB)) for v in st], axis=0
-        )  # (2L, WB)
-        rws = jnp.pad(rws, ((0, 0), (0, pad)))
-        return rws.reshape(2 * L, nb, 8, 128).transpose(1, 0, 2, 3)
-
-    def unpack_state(stp):
-        rws = stp.transpose(1, 0, 2, 3).reshape(2 * L, WBp)[:, :WB]
-        parts = [_unpack_pairs(rws[i * Lp : (i + 1) * Lp]) for i in range(4)]
-        return XYZZPoints(*(p.reshape(L, Gg, half) for p in parts))
-
+    r1b, r2b = _accum_bounds(c, N, T)
+    G = _group_windows(W, half, r1b)
     from zkarray.kernels import sw as ksw
 
-    rT = jnp.arange(T, dtype=jnp.int32)
-    state_p = pack_state(state_g)
+    packed_flat = packed.reshape(W * N)
+    idx_mask = (1 << 29) - 1
 
-    def cond(c):
-        return c[0] < rounds
+    def padded_feed(slo, base, cnt, r_start, R):
+        """(R-round, width-slot) payload + coord feed for the grid kernel.
+        slo/base/cnt: (width,) permuted slot fences. Returns coords
+        (L, R, nbw, 8, 128) and vwords (R, nbw, 8, 128) with bit0 = valid,
+        bit1 = negate-y."""
+        width = slo.shape[0]
+        nbw = width // 1024
+        t = jnp.arange(R, dtype=jnp.int32)
+        pos = slo[None, :] + (r_start + t)[:, None]  # (R, width)
+        valid = pos < (slo + cnt)[None, :]
+        posc = jnp.where(valid, pos, 0)
+        pk = jnp.take(packed_flat, (base[None] + posc).reshape(-1))
+        pk = pk.reshape(R, width)
+        idx = (pk & idx_mask).reshape(-1)
+        sgn = (pk >> 30) & 1
+        vword = valid.astype(jnp.int32) | (sgn << 1)
+        g = pxy[:, idx]  # (L, R·width)
+        coords = g.reshape(L, R, nbw, 8, 128)
+        vw = vword.reshape(R, nbw, 8, 128)
+        return coords, vw
 
-    def body(c):
-        t0, stp = c
-        st = starts + t0  # (WBp,) — dynamic_slice clamps at the array end
-        sl = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(rows, (s, jnp.int32(0)), (T, L))
-        )(st)  # (WBp, T, L)
-        coords = (
-            sl.reshape(nb, 1024, T, L)
-            .transpose(0, 2, 3, 1)
-            .reshape(nb, T * L, 8, 128)
+    out_parts = []
+    for g0 in range(0, W, G):
+        g1 = min(W, g0 + G)
+        Gg = g1 - g0
+        WB = Gg * half
+        nb = -(-WB // 1024)
+        WBp = nb * 1024
+        pad = WBp - WB
+
+        cnt = jnp.pad(counts[g0:g1].reshape(WB), (0, pad))
+        slo = jnp.pad(S[g0:g1, :-1].reshape(WB), (0, pad))
+        base = jnp.pad(
+            jnp.broadcast_to(
+                (jnp.arange(g0, g1, dtype=jnp.int32) * N)[:, None], (Gg, half)
+            ).reshape(WB),
+            (0, pad),
         )
-        valid = (st[None, :] + rT[:, None]) < ends[None, :]  # (T, WBp)
-        validr = (
-            valid.astype(jnp.int32).reshape(T, nb, 8, 128).transpose(1, 0, 2, 3)
-        )
-        stp = ksw.xyzz_accum_tiles(curve, stp, coords, validr, T)
-        return t0 + T, stp
+        # occupancy-descending slot permutation (pad slots have count 0)
+        order = jnp.argsort(-cnt)
+        cnt_s, slo_s, base_s = cnt[order], slo[order], base[order]
 
-    _, state_p = jax.lax.while_loop(cond, body, (jnp.int32(0), state_p))
-    return unpack_state(state_p)
+        st_g = XYZZPoints(*(v[:, g0:g1] for v in state))
+        rws = jnp.concatenate(
+            [_pack_pairs(v.reshape(L, WB)) for v in st_g], axis=0
+        )  # (2L, WB)
+        rws = jnp.pad(rws, ((0, 0), (0, pad)))[:, order]
+        stp = rws.reshape(2 * L, nb, 8, 128).transpose(1, 0, 2, 3)
+
+        # band 1: all slots, r1b rounds
+        c1, v1 = padded_feed(slo_s, base_s, cnt_s, 0, r1b)
+        stp = ksw.xyzz_accum_grid(curve, stp, c1, v1, T)
+
+        # band 2: top-occupancy prefix only
+        kb = max(1, nb // 8)
+        K = kb * 1024
+        if K < WBp:
+            c2, v2 = padded_feed(slo_s[:K], base_s[:K], cnt_s[:K], r1b, r2b)
+            st2 = ksw.xyzz_accum_grid(curve, stp[:kb], c2, v2, T)
+            stp = jnp.concatenate([st2, stp[kb:]], axis=0)
+            done = jnp.where(
+                jnp.arange(WBp, dtype=jnp.int32) < K, r1b + r2b, r1b
+            )
+        else:
+            c2, v2 = padded_feed(slo_s, base_s, cnt_s, r1b, r2b)
+            stp = ksw.xyzz_accum_grid(curve, stp, c2, v2, T)
+            done = jnp.full((WBp,), r1b + r2b, dtype=jnp.int32)
+
+        # dynamic residual for occupancy beyond the static bounds
+        rem_max = jnp.max(jnp.maximum(cnt_s - done, 0))
+        rT = jnp.arange(T, dtype=jnp.int32)
+
+        def cond(carry):
+            return carry[0] < rem_max
+
+        def body(carry):
+            t0, st = carry
+            pos = (slo_s + done)[None, :] + (t0 + rT)[:, None]  # (T, WBp)
+            valid = pos < (slo_s + cnt_s)[None, :]
+            posc = jnp.where(valid, pos, 0)
+            pk = jnp.take(
+                packed_flat, (base_s[None] + posc).reshape(-1)
+            ).reshape(T, WBp)
+            sgn = (pk >> 30) & 1
+            vword = valid.astype(jnp.int32) | (sgn << 1)
+            g = pxy[:, (pk & idx_mask).reshape(-1)]
+            coords = (
+                g.reshape(L, T, nb, 8, 128)
+                .transpose(2, 1, 0, 3, 4)
+                .reshape(nb, T * L, 8, 128)
+            )
+            vw = vword.reshape(T, nb, 8, 128).transpose(1, 0, 2, 3)
+            st = ksw.xyzz_accum_tiles(curve, st, coords, vw, T)
+            return t0 + T, st
+
+        _, stp = jax.lax.while_loop(cond, body, (jnp.int32(0), stp))
+
+        # un-permute and unpack the group's bucket state
+        rws = stp.transpose(1, 0, 2, 3).reshape(2 * L, WBp)
+        inv = jnp.argsort(order)
+        rws = rws[:, inv][:, :WB]
+        parts = [_unpack_pairs(rws[i * Lp : (i + 1) * Lp]) for i in range(4)]
+        out_parts.append(
+            XYZZPoints(*(p.reshape(L, Gg, half) for p in parts))
+        )
+    if len(out_parts) == 1:
+        return out_parts[0]
+    return XYZZPoints(
+        *(jnp.concatenate(vs, axis=1) for vs in zip(*out_parts))
+    )
 
 
 def default_window_size(n: int) -> int:
@@ -405,26 +466,7 @@ def msm_accumulate(
     from zkarray.kernels import mont as _km
 
     if _km.use_pallas((W, half), min_batch=4096):
-        # Presorted kernel path: per window group, materialize the group's
-        # points in sorted bucket order (one row-gather of Gg·N indices,
-        # signs baked into y), then stream contiguous (T, L) slices into
-        # the VMEM-resident accumulation kernel.
-        pxyT = pxy.T  # (N, L) point-major coordinate rows
-        G = _group_windows(W, n, L)
-        parts = []
-        for g0 in range(0, W, G):
-            g1 = min(W, g0 + G)
-            perm = (packed[g0:g1] & ((1 << 29) - 1)).reshape(-1)
-            sgn = (((packed[g0:g1] >> 30) & 1) != 0).reshape(-1)
-            rows = _neg_y_rows(f, pxyT[perm], sgn)
-            rounds_g = jnp.max(counts[g0:g1])
-            st_g = XYZZPoints(*(v[:, g0:g1] for v in state))
-            parts.append(
-                _round_loop_presorted(curve, rows, S[g0:g1], n, rounds_g, st_g)
-            )
-        if len(parts) == 1:
-            return parts[0]
-        return XYZZPoints(*(jnp.concatenate(vs, axis=1) for vs in zip(*parts)))
+        return _accum_grid(curve, packed, S, counts, pxy, state, c, scalar_bits)
 
     # XLA fallback: one masked (W, half)-wide mixed add per round.
     def cond(carry):

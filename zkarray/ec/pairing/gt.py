@@ -125,11 +125,14 @@ def gt_msm(gt: GTGroup, points, scalars: jnp.ndarray, c: int = 4):
 
     B = (1 << c) - 1  # buckets 1..B
 
-    def win_body(w, total):
-        # total = total·2^c then add this window's bucket-weighted sum
+    def win_body(total, d):
+        # total = total·2^c then add this window's bucket-weighted sum.
+        # The whole body is ONE lax.scan step traced once — the round-4
+        # version unrolled all W windows into a single graph whose XLA
+        # compile exceeded 40 GB / 25 min (the same disease the field core
+        # had before its round-2 scan compression).
         for _ in range(c):
             total = gt.double(total)
-        d = digits[W - 1 - w]  # (n,)
         # bucket[b] = product of points with digit b+1 (log-tree over n)
         onehot = d[None, :] == jnp.arange(1, B + 1, dtype=jnp.uint32)[:, None]
         pts = jnp.broadcast_to(
@@ -154,11 +157,9 @@ def gt_msm(gt: GTGroup, points, scalars: jnp.ndarray, c: int = 4):
         for b in range(B - 1, -1, -1):
             run = gt.add(run, buckets[..., b])
             acc = gt.add(acc, run)
-        return gt.add(total, acc)
+        return gt.add(total, acc), None
 
-    total = gt.zero(())
-    for w in range(W):
-        total = win_body(w, total)
+    total, _ = jax.lax.scan(win_body, gt.zero(()), digits[::-1])
     return total
 
 

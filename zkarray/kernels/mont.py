@@ -263,6 +263,57 @@ def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return _unflatten(_elementwise_call(kernel, 1, L, [a3]), bshape, n)
 
 
+def butterfly_dit_inplace(
+    spec: FieldSpec, x: jnp.ndarray, w: jnp.ndarray, C: int, H: int, R: int
+):
+    """One in-place radix-2 DIT butterfly stage: for every chunk c and pair
+    index j, (lo, hi) = x[:, c, 0/1, j, :] -> (lo + hi·w_j, lo − hi·w_j),
+    written back into the SAME buffer positions.
+
+    This is the NTT hot loop (reference poly/src/domain/radix2/fft.rs:213-295
+    butterfly ladder). The XLA path expresses each stage as slice → mul →
+    add/sub → concatenate: ~2 extra full-array copies per stage plus a
+    materialized broadcast of the twiddles. Here one kernel reads each
+    element once and writes it once (input_output_aliases), with the
+    twiddle block re-read per (c, r) tile (H·128 words, VMEM-cheap).
+
+    x: (L, C, 2, H, R) uint32 planar limbs; w: (L, H, 128) — stage twiddles
+    broadcast across lanes. Requires H % 8 == 0 and R % 128 == 0.
+    """
+    L = spec.num_limbs
+    p_limbs, inv16 = _field_consts(spec)
+    assert H % SUBLANES == 0 and R % LANES == 0
+
+    def kernel(x_ref, w_ref, o_ref):
+        lo = x_ref[:, 0, 0]  # (L, 8, 128)
+        hi = x_ref[:, 0, 1]
+        wv = w_ref[:]
+        lo_r = [lo[i] for i in range(L)]
+        t = _mul_body(L, p_limbs, inv16, hi, wv)
+        s = _add_body(L, p_limbs, lo_r, t)
+        d = _sub_body(L, p_limbs, lo_r, t)
+        o_ref[:, 0, 0] = jnp.stack(s)
+        o_ref[:, 0, 1] = jnp.stack(d)
+
+    xspec = pl.BlockSpec(
+        (L, 1, 2, SUBLANES, LANES),
+        lambda c, h, r: (0, c, 0, h, r),
+        memory_space=pltpu.VMEM,
+    )
+    wspec = pl.BlockSpec(
+        (L, SUBLANES, LANES), lambda c, h, r: (0, h, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
+        grid=(C, H // SUBLANES, R // LANES),
+        in_specs=[xspec, wspec],
+        out_specs=xspec,
+        input_output_aliases={0: 0},
+        interpret=interpret_mode(),
+    )(x, w)
+
+
 def butterfly_stage(spec: FieldSpec, lo: jnp.ndarray, hi: jnp.ndarray, w: jnp.ndarray):
     """Fused radix-2 DIF butterfly: (lo, hi, w) -> (lo+hi, (lo-hi)*w).
 

@@ -222,17 +222,16 @@ def xyzz_accum_tiles(curve, state, coords, valid, T: int):
     round 4: the XLA per-round path spent ~9 ms/round in gather+dispatch
     against 1.6 ms of add compute).
 
-    The feed is PRESORTED (round 5): the MSM materializes each window's
-    points in bucket-sorted order with digit signs already applied to y
-    and infinity points excluded (zero digit), so the kernel needs no
-    per-slot sign negate or index decode — just a validity bit.
+    This is the DYNAMIC-round variant used by the residual loop (and any
+    traced caller that cannot use the static-bound grid sweep); the bulk
+    of the work runs in xyzz_accum_grid.
 
     state:  (nb, 2L, 8, 128) uint32 — X‖Y‖ZZ‖ZZZ, 16-bit limb PAIRS packed
             into u32 words (L//2 words per coordinate), 1024 buckets/block.
     coords: (nb, T·L, 8, 128) uint32 — per round r, rows [r·L, r·L+L) are
             the affine x‖y packed words of the point entering each bucket.
-    valid:  (nb, T, 8, 128) int32 — nonzero where the bucket still has a
-            point this round; zero slots are skipped (identity add).
+    valid:  (nb, T, 8, 128) int32 vwords — bit0: slot has a point this
+            round (zero ⇒ identity add); bit1: negate y (digit sign).
     Returns the updated state (aliased with the input buffer).
     """
     f = curve.base
@@ -266,7 +265,11 @@ def xyzz_accum_tiles(curve, state, coords, valid, T: int):
             pkv = pk_ref[0, r]  # (8, 128) int32
             AX = unpack(cd[:Lp])
             AY = unpack(cd[Lp:])
-            a_inf = pkv == 0
+            a_inf = (pkv & 1) == 0
+            sign = ((pkv >> 1) & 1) != 0
+            zero = [jnp.zeros_like(AX[0])] * L
+            AYn = km._sub_body(L, p_limbs, zero, AY)  # (p - y) mod p
+            AY = _sel(sign, AYn, AY)
             X3, Y3, ZZ3, ZZZ3 = _madd_core(
                 L, p_limbs, inv16, one_m, a_limbs, st, AX, AY, a_inf,
                 lazy_dbl=True,
@@ -299,6 +302,102 @@ def xyzz_accum_tiles(curve, state, coords, valid, T: int):
         in_specs=[st_spec, cd_spec, pk_spec],
         out_specs=st_spec,
         input_output_aliases={0: 0},
+        interpret=km.interpret_mode(),
+    )(state, coords, valid)
+
+
+def xyzz_accum_grid(curve, state, coords, valid, T: int):
+    """The ENTIRE bucket-accumulation sweep in ONE pallas_call.
+
+    Grid (nb, rounds/T) with the round axis minor: each bucket block stays
+    RESIDENT IN VMEM across all its round steps (revisited output block),
+    so there are zero per-launch XLA dispatches, state round-trips, or
+    dynamic slices — the round loop is pure grid iteration. The feed is the
+    padded presorted layout built by ec/msm.py::_accum_grid (one hoisted
+    payload gather + one hoisted coordinate gather for the whole MSM).
+
+    state:  (nb, 2L, 8, 128) uint32 packed X‖Y‖ZZ‖ZZZ bucket blocks.
+    coords: (L, R, nb, 8, 128) uint32 — round r's points for each bucket at
+            [:, r, b]; R = rounds padded to a multiple of T.
+    valid:  (R, nb, 8, 128) int32 vwords — bit0: slot has a point that
+            round; bit1: negate y (digit sign).
+    """
+    f = curve.base
+    L = f.num_limbs
+    assert L % 2 == 0
+    Lp = L // 2
+    p_limbs, inv16, one_m, a_limbs = _consts(curve)
+    nb = state.shape[0]
+    R = coords.shape[1]
+    assert R % T == 0 and valid.shape[0] == R
+    nj = R // T
+
+    def unpack(w):
+        rows = []
+        for i in range(w.shape[0]):
+            rows.append(w[i] & np.uint32(0xFFFF))
+            rows.append(w[i] >> LIMB_BITS)
+        return rows
+
+    def pack(rows):
+        return jnp.stack(
+            [rows[2 * i] | (rows[2 * i + 1] << LIMB_BITS) for i in range(len(rows) // 2)]
+        )
+
+    def kernel(st_ref, cd_ref, vd_ref, out_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = st_ref[:]
+
+        stw = out_ref[0]  # (2L, 8, 128) — VMEM-resident across j steps
+        X = unpack(stw[0 * Lp : 1 * Lp])
+        Y = unpack(stw[1 * Lp : 2 * Lp])
+        ZZ = unpack(stw[2 * Lp : 3 * Lp])
+        ZZZ = unpack(stw[3 * Lp : 4 * Lp])
+
+        def body(r, st):
+            cd = cd_ref[:, r, 0]  # (L, 8, 128)
+            pkv = vd_ref[r, 0]  # (8, 128) vword
+            a_inf = (pkv & 1) == 0
+            sign = ((pkv >> 1) & 1) != 0
+            AX = unpack(cd[:Lp])
+            AY = unpack(cd[Lp:])
+            zero = [jnp.zeros_like(AX[0])] * L
+            AYn = km._sub_body(L, p_limbs, zero, AY)  # (p - y) mod p
+            AY = _sel(sign, AYn, AY)
+            X3, Y3, ZZ3, ZZZ3 = _madd_core(
+                L, p_limbs, inv16, one_m, a_limbs, st, AX, AY, a_inf,
+                lazy_dbl=True,
+            )
+            return tuple(X3), tuple(Y3), tuple(ZZ3), tuple(ZZZ3)
+
+        X, Y, ZZ, ZZZ = jax.lax.fori_loop(
+            0, T, body, (tuple(X), tuple(Y), tuple(ZZ), tuple(ZZZ))
+        )
+        out_ref[0] = jnp.concatenate(
+            [pack(list(X)), pack(list(Y)), pack(list(ZZ)), pack(list(ZZZ))]
+        )
+
+    st_spec = pl.BlockSpec(
+        (1, 2 * L, km.SUBLANES, km.LANES), lambda i, j: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cd_spec = pl.BlockSpec(
+        (L, T, 1, km.SUBLANES, km.LANES), lambda i, j: (0, j, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    vd_spec = pl.BlockSpec(
+        (T, 1, km.SUBLANES, km.LANES), lambda i, j: (j, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(state.shape, jnp.uint32),
+        grid=(nb, nj),
+        in_specs=[st_spec, cd_spec, vd_spec],
+        out_specs=st_spec,
         interpret=km.interpret_mode(),
     )(state, coords, valid)
 

@@ -204,9 +204,28 @@ def _fft_core(
     tw = power_table(spec, w_int, max(n // 2, 1))
     x = jnp.take(arr, jnp.asarray(_bitrev_perm(log_n)), axis=1)
     r1 = (1,) * len(rest)
+    from zkarray.kernels import mont as _km
+
+    rflat = 1
+    for d in rest:
+        rflat *= int(d)
     for s in range(1, log_n + 1):
         m = 1 << s
         half = m // 2
+        if (
+            half % 8 == 0
+            and rflat % 128 == 0
+            and _km.use_pallas((n, rflat), min_batch=4096)
+        ):
+            # fused in-place stage kernel: one read + one write of the
+            # array instead of slice → mul → add/sub → concatenate
+            xr = x.reshape(L, n // m, 2, half, rflat)
+            wb = jnp.broadcast_to(
+                tw[:, :: n // m, None], (L, half, 128)
+            )
+            xr = _km.butterfly_dit_inplace(spec, xr, wb, n // m, half, rflat)
+            x = xr.reshape((L, n) + rest)
+            continue
         xs = x.reshape((L, n // m, m) + rest)
         lo = jax.lax.slice_in_dim(xs, 0, half, axis=2)
         hi = jax.lax.slice_in_dim(xs, half, m, axis=2)
