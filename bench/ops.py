@@ -168,11 +168,72 @@ def bench_pairing_bn254(results, n_pairs=8):
     results["bn254_pairing_compile_s"] = round(compile_s, 1)
 
 
+def bench_pairing_wide(results, widths=(256, 1024, 4096), curves=("bls12_381", "bn254")):
+    """Batch-pairing THROUGHPUT at real widths (the round-4 width-8 row was
+    dispatch/latency-bound: the ~370 sequential tower ops of the Miller
+    ladder + final exp dominate at tiny batch; the pairs axis is the VPU
+    batch axis, so throughput grows ~linearly until the lanes fill).
+    Distinct per-pair inputs: P_i = i·G1 scaled ladder is host-costly, so
+    pairs are (a_i·G, Q) with a_i from a cheap doubling ladder built on
+    device. Reference: bench-templates/src/macros/pairing.rs;
+    BASELINE.json config #5."""
+    from zkarray.curves import bls12_381, bn254
+    from zkarray.ec import sw
+    from zkarray.ec.sw import AffinePoints
+    from zkarray.ec.sw_ext import ExtAffine
+    from zkarray.ff import fp
+
+    mods = {"bls12_381": (bls12_381, __import__("zkarray.ec.pairing.bls12", fromlist=["x"])),
+            "bn254": (bn254, __import__("zkarray.ec.pairing.bn", fromlist=["x"]))}
+    for cname in curves:
+        curve_mod, pair_mod = mods[cname]
+        c = curve_mod.G1
+        eng = curve_mod.PAIRING
+        F2 = curve_mod.FQ2
+        g2 = curve_mod.G2
+        for n_pairs in widths:
+            # distinct P_i: 2^i-fold doublings of G batched on device is
+            # O(n) sequential — instead tile 64 host multiples of G
+            base_n = min(64, n_pairs)
+            import sys as _s, os as _o
+            _s.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "tests"))
+            from ec_oracle import ec_mul
+            import numpy as _np
+            pts = [ec_mul((c.gen_x, c.gen_y), 3 + i, c.a_int, c.base.modulus)
+                   for i in range(base_n)]
+            A0 = c.affine_from_ints(pts)
+            reps = n_pairs // base_n
+            P = AffinePoints(
+                jnp.asarray(_np.tile(_np.asarray(A0.x), (1, reps))),
+                jnp.asarray(_np.tile(_np.asarray(A0.y), (1, reps))),
+                jnp.zeros(n_pairs, dtype=bool),
+            )
+            qx = F2.from_ints([[g2.gen_x[0]] * n_pairs, [g2.gen_x[1]] * n_pairs])
+            qy = F2.from_ints([[g2.gen_y[0]] * n_pairs, [g2.gen_y[1]] * n_pairs])
+            Q = ExtAffine(qx, qy, jnp.zeros(n_pairs, dtype=bool))
+            t0 = time.perf_counter()
+            out = pair_mod.pairing(eng, P, Q)
+            _sync(jax.tree.leaves(out)[0])
+            compile_s = time.perf_counter() - t0
+            iters = 3 if n_pairs <= 1024 else 2
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = pair_mod.pairing(eng, P, Q)
+            _sync(jax.tree.leaves(out)[0])
+            dt = (time.perf_counter() - t0) / iters
+            results[f"{cname}_pairing_per_s_w{n_pairs}"] = round(n_pairs / dt, 1)
+            results[f"{cname}_pairing_batch_seconds_w{n_pairs}"] = round(dt, 3)
+            results[f"{cname}_pairing_compile_s_w{n_pairs}"] = round(compile_s, 1)
+            print(json.dumps(results), flush=True)  # bank incrementally
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n", type=int, default=18)
     ap.add_argument("--ops", default="all",
-                    choices=["all", "field", "group", "pairing"])
+                    choices=["all", "field", "group", "pairing", "pairing_wide"])
+    ap.add_argument("--widths", default="256,1024,4096")
     args = ap.parse_args()
     n = 1 << args.log_n
     results = {"batch_log_n": args.log_n}
@@ -188,6 +249,10 @@ def main():
     if args.ops in ("all", "pairing"):
         bench_pairing(results)
         bench_pairing_bn254(results)
+    if args.ops == "pairing_wide":
+        bench_pairing_wide(
+            results, widths=tuple(int(w) for w in args.widths.split(","))
+        )
     print(json.dumps(results))
 
 

@@ -39,12 +39,99 @@ def macs_per_mont_mul(L: int) -> int:
     return 2 * L * L + 4 * L
 
 
+HBM_GBS = float(os.environ.get("ZKARRAY_HBM_GBS", 446e9))  # measured stream rate
+
+
+def ntt_roofline(log_n: int, L: int, mul_rate: float, measured_dt=None):
+    """Per-phase cost model of fft_fourstep_big (poly/domain.py:137) at
+    size n = 2^log_n with L-limb elements, against the measured kernel
+    mul rate and HBM stream rate — the round-5 answer to "NTT has no
+    roofline" (reference ladder being replaced:
+    poly/src/domain/radix2/fft.rs:213-295).
+
+    Work model: two sub-FFT passes of log2(sqrt n) fused butterfly stages
+    (n/2 muls per stage), one k1-twiddle multiply (n muls), the per-block
+    twiddle-table doubling build (~n muls), plus bit-reversal gathers and
+    one transpose on the HBM side."""
+    n = 1 << log_n
+    half_log = (log_n + 1) // 2
+    stages = 2 * half_log  # both passes
+    bytes_elem = L * 4
+    data = n * bytes_elem
+
+    muls = {
+        "butterfly_stages": (stages * n) // 2,
+        "k1_twiddle_mul": n,
+        "twiddle_table_build": n + (1 << (log_n - half_log)),
+    }
+    mul_total = sum(muls.values())
+    t_compute = mul_total / mul_rate
+
+    hbm = {
+        "butterfly_stages_rw": stages * 2 * data,  # fused kernel: 1R + 1W
+        "bitrev_gathers": 2 * 2 * data,
+        "transpose": 2 * data,
+        "twiddle_mul_rw": 2 * data,
+    }
+    hbm_total = sum(hbm.values())
+    t_hbm = hbm_total / HBM_GBS
+
+    out = {
+        "metric": f"ntt_2^{log_n}_roofline",
+        "mont_muls": mul_total,
+        "mul_breakdown": muls,
+        "hbm_bytes": hbm_total,
+        "hbm_breakdown_gb": {k: round(v / 1e9, 2) for k, v in hbm.items()},
+        "t_compute_floor_s": round(t_compute, 4),
+        "t_hbm_floor_s": round(t_hbm, 4),
+        "combined_floor_s": round(max(t_compute, t_hbm), 4),
+        "mul_rate_used": mul_rate,
+        "hbm_gbs_used": HBM_GBS,
+    }
+    if measured_dt:
+        out["measured_s"] = round(measured_dt, 4)
+        out["roofline_fraction"] = round(
+            max(t_compute, t_hbm) / measured_dt, 4
+        )
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--curve", default="bls12_381")
     ap.add_argument("--log-n", type=int, default=20)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--op", default="mul", choices=["mul", "ntt"])
     args = ap.parse_args()
+
+    if args.op == "ntt":
+        # measure fft at the given size, then print the phase model
+        import jax
+        import jax.numpy as jnp
+        from zkarray.jaxcache import setup_cache
+
+        setup_cache()
+        from zkarray.curves import bls12_381
+        from zkarray.poly.domain import Radix2Domain
+
+        spec = bls12_381.FR
+        n = 1 << args.log_n
+        dom = Radix2Domain(spec, n)
+        rng = np.random.default_rng(1)
+        limbs = rng.integers(0, 1 << 16, size=(spec.num_limbs, n), dtype=np.uint32)
+        limbs[-1] >>= 2
+        a = jnp.asarray(limbs)
+        out = dom.fft(a)
+        np.asarray(out[0, :2])
+        t0 = time.perf_counter()
+        iters = max(2, args.iters // 2)
+        for _ in range(iters):
+            out = dom.fft(a)
+        np.asarray(out[0, :2])
+        dt = (time.perf_counter() - t0) / iters
+        mul_rate = float(os.environ.get("ZKARRAY_MUL_RATE", 690e6))
+        print(json.dumps(ntt_roofline(args.log_n, spec.num_limbs, mul_rate, dt)))
+        return
 
     import jax
     import jax.numpy as jnp

@@ -97,7 +97,7 @@ def gt_mul_scalar(gt: GTGroup, a, scalars: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
-def gt_msm(gt: GTGroup, points, scalars: jnp.ndarray, c: int = 4):
+def gt_msm(gt: GTGroup, points, scalars: jnp.ndarray, c: int = 3):
     """Σ scalars_i · points_i over GT — windowed Pippenger with one-hot
     bucket accumulation (bucket count 2^c is small; the GT batch axis is the
     last coefficient axis). ``points``: target-field stack with trailing
