@@ -288,7 +288,7 @@ def bench_roofline(log_n: int = 20, iters: int = 8):
 # orchestration
 # ---------------------------------------------------------------------------
 
-def _run_worker(what, log_n, timeout_s, extra_env=None, chunk_log=21):
+def _run_worker(what, log_n, timeout_s, extra_env=None, chunk_log=20):
     """Run one measurement in a SUBPROCESS: a TPU-worker crash (e.g. a
     kernel fault) then costs one measurement, not the whole bench."""
     import subprocess
@@ -326,7 +326,7 @@ def main():
     ap.add_argument("--worker", default=None,
                     choices=[None, "probe", "msm", "msmc", "ntt", "roofline"])
     ap.add_argument("--log-n", type=int, default=0)
-    ap.add_argument("--chunk-log", type=int, default=21)
+    ap.add_argument("--chunk-log", type=int, default=20)
     args = ap.parse_args()
 
     if args.worker:
@@ -343,7 +343,7 @@ def main():
     def remaining():
         return args.budget_s - (time.time() - t_start)
 
-    def attempt(what, log_n, cap, env=None, floor=120, chunk_log=21):
+    def attempt(what, log_n, cap, env=None, floor=120, chunk_log=20):
         """One budgeted subprocess attempt; None if out of budget/failed."""
         t = min(cap, remaining() - 20)
         if t < floor:
@@ -387,7 +387,7 @@ def main():
     # budget remains. All compiles are persistent-cached from prior runs.
 
     # 2. headline: chunked 2^26 (streams 32 x 2^21; verified in-worker)
-    r26 = attempt("msmc", 26, cap=1100, chunk_log=21)
+    r26 = attempt("msmc", 26, cap=1100, chunk_log=20)
     bank_msm(r26)
 
     # 3. NTT ladder: north-star 2^24 (chunked-execution four-step), then
@@ -406,7 +406,7 @@ def main():
         attempt("probe", 0, cap=240, floor=60)
         bank_msm(attempt("msm", 16, cap=480, env=xla))
     if remaining() > 420:
-        bank_msm(attempt("msmc", 24, cap=700, chunk_log=21))
+        bank_msm(attempt("msmc", 24, cap=700, chunk_log=20))
     if remaining() > 300:
         bank_msm(attempt("msm", 22, cap=700))
 
