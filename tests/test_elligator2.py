@@ -22,3 +22,21 @@ def test_elligator2_on_curve():
     # determinism
     pts2 = elligator2_map(jj.EDWARDS, u, int(zeta))
     assert np.asarray(fp.eq(pts.x, pts2.x)).all()
+
+
+def test_elligator2_bandersnatch_smoke():
+    """Elligator2 on bandersnatch (TE + Montgomery coefficients from
+    curves/ed_on_bls12_381_bandersnatch/src/curves/mod.rs): images land on
+    the curve and the map is deterministic."""
+    from zkarray.curves.te_zoo import TE_CURVES
+
+    c = TE_CURVES["ed_on_bls12_381_bandersnatch"]
+    p = c.base.modulus
+    rng = random.Random(1)
+    us = [0, 1] + [rng.randrange(p) for _ in range(6)]
+    u = fp.from_ints(c.base, us)
+    zeta = c.base.sqrt_qnr if c.base.sqrt_mode == "tonelli" else 5
+    pts = elligator2_map(c, u, int(zeta))
+    assert np.asarray(te.is_on_curve(c, pts)).all()
+    pts2 = elligator2_map(c, u, int(zeta))
+    assert np.asarray(fp.eq(pts.x, pts2.x)).all()

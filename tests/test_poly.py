@@ -200,3 +200,21 @@ def test_sparse_ring_ops():
     wa = (5 + 2 * pow(pt[0], 2, P) * pt[2] + 7 * pt[1]) % P
     wb = ((P - 7) * pt[1] + 3 * pow(pt[0], 2, P) * pt[2] + pow(pt[2], 3, P)) % P
     assert got2 == [(wa - wb) % P]
+
+
+def test_sparse_uv_evaluate_over_domain():
+    """O(terms·n) sparse domain evaluation vs the per-point sparse eval on
+    the domain elements (reference sparse.rs:294-306), incl. a coset."""
+    from zkarray.poly.domain import Radix2Domain
+
+    terms = [(0, 7), (3, 11), (17, 123456789), (31, 5)]
+    degs, cs = sparse.uv_from_terms(SPEC, terms)
+    for offset in (1, 5):
+        dom = Radix2Domain(SPEC, 32, offset_int=offset)
+        got = fp.to_ints(
+            SPEC, sparse.uv_evaluate_over_domain(SPEC, degs, cs, dom)
+        )
+        want = fp.to_ints(
+            SPEC, sparse.uv_evaluate(SPEC, degs, cs, dom.elements())
+        )
+        assert got == want

@@ -165,3 +165,46 @@ def mv_evaluate(spec: FieldSpec, powers, coeffs, point: jnp.ndarray) -> jnp.ndar
         t = red
     prods = fp.mont_mul(spec, coeffs, t[:, :, 0])
     return fp.tree_sum(spec, prods, axis=0).reshape(spec.num_limbs, 1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _geom_terms_table(spec: FieldSpec, bases: tuple, scales: tuple, n: int,
+                      tree: bool = True) -> jnp.ndarray:
+    """Σ_i scales_i · bases_i^j for j < n, one geometric row per term built
+    by log-depth doubling with host shift constants (O(k·n) muls total).
+    bases/scales: tuples of host ints (canonical)."""
+    p = spec.modulus
+    k = len(bases)
+    T = fp.mont_mul(
+        spec,
+        fp.from_ints(spec, list(scales))[:, :, None],
+        fp.one(spec, (k, 1)),
+    )
+    m = 1
+    while m < n:
+        shift = fp.from_ints(spec, [pow(b, m, p) for b in bases])  # (L, k)
+        T = jnp.concatenate(
+            [T, fp.mont_mul(spec, T[:, :, : n - m], shift[:, :, None])],
+            axis=2,
+        )
+        m *= 2
+    return fp.tree_sum(spec, T, axis=0) if tree else T
+
+
+def uv_evaluate_over_domain(spec: FieldSpec, degrees, coeffs, domain) -> jnp.ndarray:
+    """Sparse polynomial evaluated over a whole evaluation domain in
+    O(terms·n) muls: evals[j] = Σ_i c_i·(offset·g^j)^{d_i}, with each
+    term's (g^{d_i})^j a geometric sequence built by log-depth doubling —
+    no densify+FFT (that costs O(n log n) and a length-deg dense copy).
+
+    Reference: SparsePolynomial::evaluate_over_domain
+    (poly/src/polynomial/univariate/sparse.rs:294-306). Returns (L, n)
+    evaluations in domain order."""
+    p = spec.modulus
+    degs = [int(d) for d in np.asarray(degrees)]
+    cs = fp.to_ints(spec, coeffs)
+    bases = tuple(pow(domain.group_gen_int, d, p) for d in degs)
+    scales = tuple(
+        (c * pow(domain.offset_int, d, p)) % p for c, d in zip(cs, degs)
+    )
+    return _geom_terms_table(spec, bases, scales, domain.size)
