@@ -51,7 +51,13 @@ def _install_serialize_guard(cc_mod):
             d for d in os.environ.get("ZKARRAY_CACHE_WRITE_DENY", "").split(",") if d
         )
         name = str(module_name)
-        if any(d in name for d in deny):
+        # the serialize() fault is XLA:CPU-only — TPU executables cache fine
+        # (and the pairing compiles are minutes-long through the tunnel)
+        try:
+            is_cpu = getattr(backend, "platform", "cpu") == "cpu"
+        except Exception:
+            is_cpu = True
+        if is_cpu and any(d in name for d in deny):
             warnings.warn(
                 f"skipping persistent-cache write for '{name}' "
                 "(XLA:CPU serialize-crash denylist; see zkarray/jaxcache.py)"
