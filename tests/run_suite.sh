@@ -19,7 +19,14 @@ LOGDIR=$(mktemp -d /tmp/zkarray-suite.XXXX)
 echo "cache: $CACHE  logs: $LOGDIR"
 start=$(date +%s)
 
-ls tests/test_*.py | xargs -P 2 -I{} bash -c '
+# Heaviest files first (longest-processing-time scheduling): with 2
+# workers the wall clock is set by whatever big file starts LAST, so the
+# known compile-heavy files lead and the sub-minute tail load-balances.
+HEAVY="tests/test_pairing_bn.py tests/test_pairing.py tests/test_glv_fixed.py \
+tests/test_msm.py tests/test_scalar_mul_extras.py tests/test_domain.py \
+tests/test_point_serde.py tests/test_dist.py tests/test_kernels.py"
+{ printf '%s\n' $HEAVY; ls tests/test_*.py | grep -v -x -F "$(printf '%s\n' $HEAVY)"; } \
+  | xargs -P 2 -I{} bash -c '
   f="{}"; b=$(basename "$f" .py)
   ZKARRAY_CACHE_DIR="'"$CACHE"'" python -m pytest "$f" -q -m "not slow" \
       > "'"$LOGDIR"'/$b.log" 2>&1

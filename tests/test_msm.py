@@ -39,8 +39,10 @@ def test_msm_infinity_points():
     curve = bn254.G1
     a, mod = curve.a_int, curve.base.modulus
     gen = (curve.gen_x, curve.gen_y)
-    pts = [gen, None, ec_mul(gen, 5, a, mod), None]
-    ks = [3, 7, 2, 0]
+    # padded to n=13 so the compiled shape is shared with
+    # test_msm_vs_naive[bn254-13-4] (XLA compile dominates this file's cost)
+    pts = [gen, None, ec_mul(gen, 5, a, mod), None] + [None] * 9
+    ks = [3, 7, 2, 0] + [11] * 9
     A = curve.affine_from_ints(pts)
     s = fp.from_ints(curve.scalar, ks, mont=False)
     res = msm.msm_affine(curve, A, s, 4)
@@ -55,7 +57,7 @@ def test_msm_degenerate_all_equal_scalars():
     a, mod = curve.a_int, curve.base.modulus
     rng = random.Random(7)
     gen = (curve.gen_x, curve.gen_y)
-    n = 32
+    n = 64  # same (n, c) as test_msm_vs_naive[bn254-64-5]: shares the compile
     pts = [ec_mul(gen, rng.randrange(1, 1 << 40), a, mod) for _ in range(n)]
     k = rng.randrange(curve.scalar.modulus)
     ks = [k] * n
@@ -72,8 +74,9 @@ def test_msm_duplicate_points():
     a, mod = curve.a_int, curve.base.modulus
     gen = (curve.gen_x, curve.gen_y)
     p5 = ec_mul(gen, 5, a, mod)
-    pts = [gen, gen, p5, p5, gen]
-    ks = [3, 3, 9, 9, 3]
+    # padded to the shared (13, 4) shape (see test_msm_infinity_points)
+    pts = [gen, gen, p5, p5, gen] + [p5] * 8
+    ks = [3, 3, 9, 9, 3] + [9] * 8
     A = curve.affine_from_ints(pts)
     s = fp.from_ints(curve.scalar, ks, mont=False)
     res = msm.msm_affine(curve, A, s, 4)
