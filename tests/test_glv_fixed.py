@@ -75,18 +75,62 @@ def test_glv_parameter_sets_algebraic():
             assert max(abs(k1), abs(k2)) < 1 << ((r.bit_length() // 2) + 3), g.curve.name
 
 
-def test_g2_glv_mul_vs_ladder():
-    """G2 GLV (ext-field endomorphism) vs plain scalar mul — reference
+def _host_g2_mul(xy, k, p):
+    """Host Fq2 affine double-and-add on E2: y² = x³ + 4(u+1) (a = 0);
+    an independent oracle that replaces the per-scalar device ladders this
+    file used to compile (5 full-width ext-curve scan compiles ≈ minutes
+    of this file's cold cost)."""
+
+    def fmul(a, b):
+        return ((a[0] * b[0] - a[1] * b[1]) % p, (a[0] * b[1] + a[1] * b[0]) % p)
+
+    def finv(a):
+        n = pow(a[0] * a[0] + a[1] * a[1], -1, p)
+        return ((a[0] * n) % p, (-a[1] * n) % p)
+
+    def fsub(a, b):
+        return ((a[0] - b[0]) % p, (a[1] - b[1]) % p)
+
+    def padd(P, Q):
+        if P is None:
+            return Q
+        if Q is None:
+            return P
+        if P[0] == Q[0]:
+            if (P[1][0] + Q[1][0]) % p == 0 and (P[1][1] + Q[1][1]) % p == 0:
+                return None
+            xx = fmul(P[0], P[0])
+            lam = fmul((3 * xx[0] % p, 3 * xx[1] % p), finv((2 * P[1][0] % p, 2 * P[1][1] % p)))
+        else:
+            lam = fmul(fsub(Q[1], P[1]), finv(fsub(Q[0], P[0])))
+        x3 = fsub(fsub(fmul(lam, lam), P[0]), Q[0])
+        y3 = fsub(fmul(lam, fsub(P[0], x3)), P[1])
+        return (x3, y3)
+
+    acc = None
+    add = xy
+    while k:
+        if k & 1:
+            acc = padd(acc, add)
+        add = padd(add, add)
+        k >>= 1
+    return acc
+
+
+def test_g2_glv_mul_vs_host_oracle():
+    """G2 GLV (ext-field endomorphism) vs a host Fq2 ladder — reference
     implements GLVConfig for G2 as well (curves/bls12_381/src/curves/
     g2.rs:193-222)."""
-    import numpy as np
     from zkarray.curves import bls12_381 as b381
     from zkarray.ec import glv as glv_mod
     from zkarray.ec import sw_ext
 
     g = glv_mod.bls12_381_g2_glv()
     F2 = b381.FQ2
+    p = b381.FQ.modulus
     H = b381.G2.generator((1,))
+    hx = (b381.G2.gen_x[0], b381.G2.gen_x[1])
+    hy = (b381.G2.gen_y[0], b381.G2.gen_y[1])
     ks = [1, 2, 12345, b381.G2.scalar.modulus - 3]
     import jax.numpy as jnp
 
@@ -98,29 +142,25 @@ def test_g2_glv_mul_vs_ladder():
     got = sw_ext.to_affine(b381.G2, glv_mod.glv_mul_ext(g, A, ks))
     gx, gy = F2.to_ints(got.x), F2.to_ints(got.y)
     for i, k in enumerate(ks):
-        want = sw_ext.to_affine(
-            b381.G2,
-            sw_ext.scalar_mul_const(b381.G2, sw_ext.from_affine(b381.G2, H), k),
-        )
-        wx, wy = F2.to_ints(want.x), F2.to_ints(want.y)
-        assert (gx[0][i], gx[1][i]) == (wx[0][0], wx[1][0]), k
-        assert (gy[0][i], gy[1][i]) == (wy[0][0], wy[1][0]), k
+        wx, wy = _host_g2_mul((hx, hy), k, p)
+        assert (gx[0][i], gx[1][i]) == wx, k
+        assert (gy[0][i], gy[1][i]) == wy, k
 
 
 def test_g2_glv_endo_eigenvalue():
-    """φ(H) == λ·H on G2 (the defining GLV property)."""
+    """φ(H) == λ·H on G2 (the defining GLV property); λ·H via the host
+    Fq2 ladder."""
     from zkarray.curves import bls12_381 as b381
     from zkarray.ec import glv as glv_mod
-    from zkarray.ec import sw_ext
-    import numpy as np
 
     g = glv_mod.bls12_381_g2_glv()
     F2 = b381.FQ2
+    p = b381.FQ.modulus
     H = b381.G2.generator((1,))
+    hx = (b381.G2.gen_x[0], b381.G2.gen_x[1])
+    hy = (b381.G2.gen_y[0], b381.G2.gen_y[1])
     phiH = glv_mod.endomorphism_ext(g, H)
-    lamH = sw_ext.to_affine(
-        b381.G2,
-        sw_ext.scalar_mul_const(b381.G2, sw_ext.from_affine(b381.G2, H), g.lam),
-    )
-    assert F2.to_ints(phiH.x) == F2.to_ints(lamH.x)
-    assert F2.to_ints(phiH.y) == F2.to_ints(lamH.y)
+    wx, wy = _host_g2_mul((hx, hy), g.lam, p)
+    px, py = F2.to_ints(phiH.x), F2.to_ints(phiH.y)
+    assert (px[0][0], px[1][0]) == wx
+    assert (py[0][0], py[1][0]) == wy
