@@ -116,6 +116,39 @@ def test_sw_points_codec_modes():
         Proof.deserialize_with_mode(bytes(raw), COMPRESSED_CHECKED)
 
 
+def test_te_and_ext_point_codecs_roundtrip():
+    from zkarray.curves import bls12_381 as b381
+    from zkarray.curves import ed_on_bls12_381 as jj
+    from tests.test_te import te_mul
+
+    g = (jj.EDWARDS.gen_x, jj.EDWARDS.gen_y)
+    tepts = jj.EDWARDS.affine_from_ints([te_mul(g, k) for k in (1, 2, 3)])
+
+    from zkarray.ec import sw_ext
+    import jax.numpy as jnp
+
+    H = b381.G2.generator((1,))
+    H2 = sw_ext.to_affine(b381.G2, sw_ext.double(b381.G2, sw_ext.from_affine(b381.G2, H)))
+    g2 = sw_ext.ExtAffine(
+        jnp.concatenate([H.x, H2.x], axis=-1),
+        jnp.concatenate([H.y, H2.y], axis=-1),
+        jnp.concatenate([H.inf, H2.inf]),
+    )
+
+    @D.canonical(codecs={"te": D.te_points(jj.EDWARDS), "g2": D.sw_points_ext(b381.G2)})
+    class Mixed:
+        te: object
+        g2: object
+
+    mx = Mixed(te=tepts, g2=g2)
+    for mode in (COMPRESSED_CHECKED, UNCOMPRESSED_CHECKED):
+        back = Mixed.deserialize_with_mode(mx.serialize_with_mode(mode), mode)
+        assert jj.EDWARDS.affine_to_ints(back.te) == jj.EDWARDS.affine_to_ints(tepts)
+        F2 = b381.FQ2
+        assert F2.to_ints(back.g2.x) == F2.to_ints(g2.x)
+        assert F2.to_ints(back.g2.y) == F2.to_ints(g2.y)
+
+
 def test_missing_codec_raises():
     with pytest.raises(TypeError, match="no codec"):
 

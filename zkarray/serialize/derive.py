@@ -135,17 +135,14 @@ def fp_vec(spec, mont: bool = True) -> Codec:
     return Codec(ser, de)
 
 
-def sw_points(curve) -> Codec:
-    """``Vec<GAffine>`` (short Weierstrass) as one batched call; honors both
-    mode axes (compress chooses the wire, validate gates curve+subgroup
-    checks — reference serialize/src/serde.rs:12-24 via ec point impls)."""
-    from zkarray.ec import point_serde as P
-
-    nbc = _canon.field_byte_size(curve.base, 2)
-    nbu = _canon.field_byte_size(curve.base) + nbc
+def _points_codec(ser_fn, de_fn, nbc: int, nbu: int) -> Codec:
+    """Shared ``Vec<GAffine>`` shape: u64 length + n fixed-width point rows;
+    honors both mode axes (compress chooses the wire, validate gates the
+    curve+subgroup checks — reference serialize/src/serde.rs:12-24 via the
+    ec point impls)."""
 
     def ser(pts, m: Mode) -> bytes:
-        out = P.serialize_sw(curve, pts, compress=m.compress)
+        out = ser_fn(pts, compress=m.compress)
         return C.ser_u64(out.shape[0]) + out.tobytes()
 
     def de(r: io.BytesIO, m: Mode):
@@ -155,12 +152,63 @@ def sw_points(curve) -> Codec:
         if len(raw) != n * nb:
             raise SerializationError("truncated Vec<G>")
         data = np.frombuffer(raw, dtype=np.uint8).reshape(n, nb)
-        pts, ok = P.deserialize_sw(curve, data, compress=m.compress, validate=m.validate)
+        pts, ok = de_fn(data, compress=m.compress, validate=m.validate)
         if m.validate and not bool(np.all(ok)):
             raise SerializationError("invalid curve point")
         return pts
 
     return Codec(ser, de)
+
+
+def sw_points(curve) -> Codec:
+    """``Vec<GAffine>`` over a short Weierstrass curve, one batched call."""
+    from zkarray.ec import point_serde as P
+
+    nbc = _canon.field_byte_size(curve.base, 2)
+    nbu = _canon.field_byte_size(curve.base) + nbc
+    return _points_codec(
+        lambda pts, compress: P.serialize_sw(curve, pts, compress=compress),
+        lambda data, compress, validate: P.deserialize_sw(
+            curve, data, compress=compress, validate=validate
+        ),
+        nbc,
+        nbu,
+    )
+
+
+def te_points(curve) -> Codec:
+    """``Vec<GAffine>`` over a twisted Edwards curve (y bytes + sign-of-x)."""
+    from zkarray.ec import point_serde as P
+
+    nbc = _canon.field_byte_size(curve.base, 1)
+    nbu = _canon.field_byte_size(curve.base) + nbc
+    return _points_codec(
+        lambda pts, compress: P.serialize_te(curve, pts, compress=compress),
+        lambda data, compress, validate: P.deserialize_te(
+            curve, data, compress=compress, validate=validate
+        ),
+        nbc,
+        nbu,
+    )
+
+
+def sw_points_ext(curve) -> Codec:
+    """``Vec<GAffine>`` over an extension field (e.g. BLS12-381 G2): flags
+    ride the LAST coefficient's top bits (quadratic_extension.rs:687-695)."""
+    from zkarray.ec import point_serde as P
+
+    spec, deg = curve.ops.spec, curve.ops.deg
+    fb0 = _canon.field_byte_size(spec)
+    nbc = (deg - 1) * fb0 + _canon.field_byte_size(spec, 2)
+    nbu = deg * fb0 + nbc
+    return _points_codec(
+        lambda pts, compress: P.serialize_sw_ext(curve, pts, compress=compress),
+        lambda data, compress, validate: P.deserialize_sw_ext(
+            curve, data, compress=compress, validate=validate
+        ),
+        nbc,
+        nbu,
+    )
 
 
 _PRIMITIVE_BY_TYPE = {bool: BOOL, int: USIZE, str: STRING, bytes: BYTES}
