@@ -149,6 +149,24 @@ def test_te_and_ext_point_codecs_roundtrip():
         assert F2.to_ints(back.g2.y) == F2.to_ints(g2.y)
 
 
+def test_string_annotations_resolve():
+    # `from __future__ import annotations` turns annotations into strings;
+    # primitives resolve by name, nested @canonical classes via the module
+    @D.canonical
+    class Inner:
+        n: "int"
+
+    globals()["_DeriveInner"] = Inner
+
+    @D.canonical
+    class Outer:
+        inner: "_DeriveInner"
+        tag: "str"
+
+    o = Outer(inner=Inner(n=5), tag="x")
+    assert Outer.deserialize_compressed(o.serialize_compressed()) == o
+
+
 def test_missing_codec_raises():
     with pytest.raises(TypeError, match="no codec"):
 

@@ -212,12 +212,22 @@ def sw_points_ext(curve) -> Codec:
 
 
 _PRIMITIVE_BY_TYPE = {bool: BOOL, int: USIZE, str: STRING, bytes: BYTES}
+# under `from __future__ import annotations` dataclasses store the
+# annotation as a string — accept the primitive names too
+_PRIMITIVE_BY_NAME = {t.__name__: c for t, c in _PRIMITIVE_BY_TYPE.items()}
 
 
-def _resolve_codec(f: dataclasses.Field, cls_codecs: dict) -> Codec:
+def _resolve_codec(f: dataclasses.Field, cls_codecs: dict, owner_module) -> Codec:
     c = f.metadata.get("codec") or cls_codecs.get(f.name)
     if c is None and isinstance(f.type, type):
         c = getattr(f.type, "__codec__", None) or _PRIMITIVE_BY_TYPE.get(f.type)
+    if c is None and isinstance(f.type, str):
+        # string annotation (`from __future__ import annotations`): resolve
+        # primitives by name, nested @canonical classes via the owner module
+        c = _PRIMITIVE_BY_NAME.get(f.type)
+        if c is None:
+            named = getattr(owner_module, f.type, None)
+            c = getattr(named, "__codec__", None)
     if isinstance(c, type):  # a nested @canonical class given explicitly
         c = c.__codec__
     if not isinstance(c, Codec):
@@ -245,7 +255,13 @@ def canonical(cls=None, /, *, codecs: Optional[dict] = None):
     def wrap(cls):
         if not dataclasses.is_dataclass(cls):
             cls = dataclasses.dataclass(cls)
-        specs = [(f.name, _resolve_codec(f, codecs or {})) for f in dataclasses.fields(cls)]
+        import sys
+
+        owner = sys.modules.get(cls.__module__)
+        specs = [
+            (f.name, _resolve_codec(f, codecs or {}, owner))
+            for f in dataclasses.fields(cls)
+        ]
 
         def serialize_with_mode(self, mode: Mode = COMPRESSED_CHECKED) -> bytes:
             return b"".join(c.ser(getattr(self, name), mode) for name, c in specs)
